@@ -1,0 +1,102 @@
+"""Mention & triple extraction operators (SURVEY §2.2 E1/E3/E7).
+
+The reference runs one LLM call per episode (node_operations.py:67-173,
+edge_operations.py:110-244) bounded by an asyncio semaphore of 20
+(helpers.py:37). Here extraction is a `mapInPandas` over the episodes
+DataFrame: Arrow-batched, vectorized regex inside the batch, no per-row
+Python from Spark's perspective, parallelism = Spark tasks. The rule
+engine (graphiti_spark.rules) is pluggable — an `Extractor` is any
+pandas-batch function with the same signature, so an LLM-backed
+implementation slots in without changing the dataflow (§2.12).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphiti_spark import ids, rules
+
+TRIPLES_SCHEMA = (
+    "episode_uuid string, group_id string, subj_name string, pred string, "
+    "obj_name string, fact string, valid_at timestamp, invalid_at timestamp"
+)
+MENTIONS_SCHEMA = (
+    "episode_uuid string, group_id string, entity_name string, mention_order long"
+)
+
+# An Extractor maps a pandas batch of episodes to a pandas batch of
+# extraction rows — the deterministic analog of LLMClient.generate_response
+# (llm_client/client.py:90-111).
+Extractor = Callable[[pd.DataFrame], pd.DataFrame]
+
+
+def _split_content(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Recover (role, text) from message content "role: text" —
+    speaker is the part before the colon (prompts/extract_nodes.py:105)."""
+    parts = pdf["content"].fillna("").str.split(": ", n=1, expand=True)
+    pdf = pdf.copy()
+    pdf["role"] = parts[0]
+    pdf["text"] = parts[1] if parts.shape[1] > 1 else ""
+    return pdf
+
+
+def extract_triples(
+    episodes: DataFrame, extractor: Extractor = rules.extract_triples_pdf
+) -> DataFrame:
+    """E3: episodes → one row per (subj, pred, obj, fact, valid_at,
+    invalid_at). Output is already exploded (mapInPandas yields the
+    variable-length result rows directly — no array<struct> detour)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = _split_content(pdf)
+            yield extractor(pdf[["uuid", "group_id", "text", "valid_at"]])
+
+    src = episodes.select("uuid", "group_id", "content", "valid_at")
+    return src.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+def extract_mentions(
+    episodes: DataFrame, extractor: Extractor = rules.extract_mentions_pdf
+) -> DataFrame:
+    """E1: episodes → mention rows (speaker first, mention_order stable)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = _split_content(pdf)
+            out = extractor(pdf[["uuid", "group_id", "role", "text"]])
+            out["mention_order"] = out["mention_order"].astype("int64")
+            yield out
+
+    src = episodes.select("uuid", "group_id", "content")
+    return src.mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+def mentions_with_entity_uuid(mentions: DataFrame) -> DataFrame:
+    """Attach the candidate (pre-canonicalization) entity uuid —
+    content-derived, so within-batch exact-name dedupe is free."""
+    return mentions.withColumn(
+        "entity_uuid", ids.entity_uuid(F.col("group_id"), F.col("entity_name"))
+    )
+
+
+def triples_with_uuids(triples: DataFrame) -> DataFrame:
+    """Attach subj/obj candidate entity uuids + provenance edge uuid."""
+    return (
+        triples.withColumn("subj_uuid", ids.entity_uuid(F.col("group_id"), F.col("subj_name")))
+        .withColumn("obj_uuid", ids.entity_uuid(F.col("group_id"), F.col("obj_name")))
+        .withColumn(
+            "edge_uuid",
+            ids.edge_uuid(
+                F.col("group_id"),
+                F.col("episode_uuid"),
+                F.col("subj_name"),
+                F.col("pred"),
+                F.col("obj_name"),
+            ),
+        )
+    )

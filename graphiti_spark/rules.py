@@ -1,0 +1,251 @@
+"""Deterministic extraction rule engine — the pluggable LLM stand-in.
+
+The reference implements mention detection / triple extraction /
+dedupe verdicts / contradiction verdicts as structured-output LLM
+prompts (graphiti_core/prompts/extract_nodes.py:82-191,
+prompts/extract_edges.py:92-124, prompts/dedupe_nodes.py:106-168,
+prompts/invalidate_edges.py:73-95). Those prompts are the *spec*; this
+module is a deterministic rule engine implementing the same contract
+(SURVEY.md §7.0) so that results are reproducible and the engine
+doubles as the test oracle. An LLM-backed implementation can be
+swapped in without changing the dataflow (see operators/extraction.py
+Extractor protocol).
+
+Contract replicated bit-for-bit:
+  * speaker of a `message` episode is always extracted first
+    (prompts/extract_nodes.py:105-106) — speaker = `role` column,
+    which is "the part before the colon" in `role: text` content.
+  * predicates are SCREAMING_SNAKE_CASE between two DISTINCT entities
+    (prompts/extract_edges.py:108-115).
+  * date rules (prompts/extract_edges.py:117-124 +
+    edge_operations.py:211-225): present-tense/ongoing fact →
+    valid_at = reference_time; termination statement → invalid_at =
+    reference_time.
+  * contradiction pairs (tests/utils/maintenance/
+    test_temporal_operations_int.py:96-264): LIKES vs DISLIKES on the
+    same (subj, obj); "no longer works at" terminates WORKS_AT.
+
+Every rule's regex uses only syntax with identical semantics in
+Python `re`, pandas `.str.extract`, Spark `regexp_extract`, and
+DuckDB `regexp_extract`, so the DuckDB oracle can mirror extraction
+exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+
+# A proper name: one capitalized token, optionally two (to exercise
+# alias dedupe: "Alice" vs "Alice Smith").
+NAME = "[A-Z][A-Za-z]*(?: [A-Z][A-Za-z]*)?"
+
+ASSERT = "assert"
+TERMINATE = "terminate"
+MENTION = "mention"
+
+
+@dataclass(frozen=True)
+class Rule:
+    pattern: str  # anchored, 1 or 2 capture groups
+    pred: str | None  # None → mention-only rule
+    kind: str  # assert | terminate | mention
+    fact_template: str  # '{s}'/'{o}' placeholders
+
+
+RULES: list[Rule] = [
+    Rule(rf"^({NAME}) works at ({NAME})\.$", "WORKS_AT", ASSERT, "{s} works at {o}"),
+    Rule(
+        rf"^({NAME}) no longer works at ({NAME})\.$",
+        "WORKS_AT",
+        TERMINATE,
+        "{s} no longer works at {o}",
+    ),
+    Rule(rf"^({NAME}) moved to ({NAME})\.$", "LIVES_IN", ASSERT, "{s} lives in {o}"),
+    Rule(rf"^({NAME}) likes ({NAME})\.$", "LIKES", ASSERT, "{s} likes {o}"),
+    Rule(rf"^({NAME}) dislikes ({NAME})\.$", "DISLIKES", ASSERT, "{s} dislikes {o}"),
+    Rule(rf"^({NAME}) is the CEO of ({NAME})\.$", "CEO_OF", ASSERT, "{s} is the CEO of {o}"),
+    Rule(rf"^Tell me about ({NAME})\.$", None, MENTION, ""),
+]
+
+TRIPLE_RULES = [r for r in RULES if r.pred is not None]
+
+# Antonym predicate pairs → contradiction on same (subj, obj)
+# (deterministic analog of prompts/invalidate_edges.py:73-95).
+ANTONYMS: dict[str, str] = {"LIKES": "DISLIKES", "DISLIKES": "LIKES"}
+
+_COMPILED = [(re.compile(r.pattern), r) for r in RULES]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized pandas implementations (used inside Arrow-batched UDFs AND as
+# the pure-pandas reference oracle in tests — same code, per BASELINE.md).
+# ---------------------------------------------------------------------------
+
+def extract_triples_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(episode rows) → (triple rows). Vectorized: one .str.extract per rule.
+
+    Input columns: uuid, group_id, text, valid_at (reference_time).
+    Output columns: episode_uuid, group_id, subj_name, pred, obj_name,
+                    fact, valid_at, invalid_at.
+    Deterministic analog of extract_edges (edge_operations.py:110-244).
+    """
+    outs: list[pd.DataFrame] = []
+    text = pdf["text"].fillna("")
+    for rule in TRIPLE_RULES:
+        cap = text.str.extract(rule.pattern)  # 2 capture groups
+        hit = cap[0].notna()
+        if not hit.any():
+            continue
+        sub = pdf.loc[hit]
+        s, o = cap.loc[hit, 0], cap.loc[hit, 1]
+        out = pd.DataFrame(
+            {
+                "episode_uuid": sub["uuid"].values,
+                "group_id": sub["group_id"].values,
+                "subj_name": s.values,
+                "pred": rule.pred,
+                "obj_name": o.values,
+                "fact": [
+                    rule.fact_template.format(s=sv, o=ov)
+                    for sv, ov in zip(s.values, o.values)
+                ],
+                "valid_at": (
+                    sub["valid_at"].values
+                    if rule.kind == ASSERT
+                    else pd.Series([pd.NaT] * len(sub), dtype="datetime64[us]").values
+                ),
+                "invalid_at": (
+                    sub["valid_at"].values
+                    if rule.kind == TERMINATE
+                    else pd.Series([pd.NaT] * len(sub), dtype="datetime64[us]").values
+                ),
+            }
+        )
+        # distinct-entity rule (prompts/extract_edges.py:108): drop self-loops
+        out = out[out["subj_name"].str.lower() != out["obj_name"].str.lower()]
+        outs.append(out)
+    if not outs:
+        return pd.DataFrame(
+            columns=[
+                "episode_uuid",
+                "group_id",
+                "subj_name",
+                "pred",
+                "obj_name",
+                "fact",
+                "valid_at",
+                "invalid_at",
+            ]
+        )
+    return pd.concat(outs, ignore_index=True)
+
+
+def extract_mentions_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(episode rows) → (mention rows): speaker first, then every name
+    captured by any rule. Deterministic analog of extract_nodes
+    (node_operations.py:67-173; speaker rule prompts/extract_nodes.py:105).
+
+    Input columns: uuid, group_id, role, text.
+    Output columns: episode_uuid, group_id, entity_name, mention_order.
+    """
+    outs: list[pd.DataFrame] = []
+    # speaker mention (order 0) — blank-name drop per node_operations.py:145
+    spk = pdf[pdf["role"].fillna("") != ""]
+    outs.append(
+        pd.DataFrame(
+            {
+                "episode_uuid": spk["uuid"].values,
+                "group_id": spk["group_id"].values,
+                "entity_name": spk["role"].values,
+                "mention_order": 0,
+            }
+        )
+    )
+    text = pdf["text"].fillna("")
+    for rule in RULES:
+        cap = text.str.extract(rule.pattern)
+        for gi in range(cap.shape[1]):
+            hit = cap[gi].notna()
+            if not hit.any():
+                continue
+            sub = pdf.loc[hit]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "episode_uuid": sub["uuid"].values,
+                        "group_id": sub["group_id"].values,
+                        "entity_name": cap.loc[hit, gi].values,
+                        "mention_order": gi + 1,
+                    }
+                )
+            )
+    out = pd.concat(outs, ignore_index=True)
+    out = out[out["entity_name"].fillna("") != ""]
+    # one mention per (episode, entity), keeping earliest order
+    out = (
+        out.sort_values(["episode_uuid", "mention_order"])
+        .drop_duplicates(["episode_uuid", "entity_name"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL generation — mirrors the rules above exactly.
+# ---------------------------------------------------------------------------
+
+def triples_oracle_sql(episodes_cte: str) -> str:
+    """UNION ALL of one regexp_extract SELECT per triple rule, over a CTE
+    named `eps(uuid, group_id, text, valid_at)`."""
+    parts = []
+    for rule in TRIPLE_RULES:
+        pat = rule.pattern.replace("'", "''")
+        valid = "valid_at" if rule.kind == ASSERT else "cast(NULL as timestamp)"
+        invalid = "valid_at" if rule.kind == TERMINATE else "cast(NULL as timestamp)"
+        fact = rule.fact_template.replace("{s}", "', s, '").replace("{o}", "', o, '")
+        parts.append(
+            f"""
+    SELECT uuid AS episode_uuid, group_id,
+           s AS subj_name, '{rule.pred}' AS pred, o AS obj_name,
+           concat('{fact}') AS fact,
+           {valid} AS valid_at, {invalid} AS invalid_at
+    FROM (
+      SELECT uuid, group_id, valid_at,
+             regexp_extract(text, '{pat}', 1) AS s,
+             regexp_extract(text, '{pat}', 2) AS o
+      FROM eps
+      WHERE regexp_matches(text, '{pat}')
+    ) WHERE lower(s) <> lower(o)"""
+        )
+    body = "\n    UNION ALL".join(parts)
+    return f"WITH {episodes_cte}\n{body}"
+
+
+def mentions_oracle_sql(episodes_cte: str) -> str:
+    """Speaker + every captured name, deduped per (episode, entity) with
+    earliest mention_order, over CTE `eps(uuid, group_id, role, text)`."""
+    parts = [
+        """
+    SELECT uuid AS episode_uuid, group_id, role AS entity_name, 0 AS mention_order
+    FROM eps WHERE coalesce(role, '') <> ''"""
+    ]
+    for rule in RULES:
+        pat = rule.pattern.replace("'", "''")
+        n_groups = 1 if rule.pred is None else 2
+        for gi in range(1, n_groups + 1):
+            parts.append(
+                f"""
+    SELECT uuid AS episode_uuid, group_id,
+           regexp_extract(text, '{pat}', {gi}) AS entity_name, {gi} AS mention_order
+    FROM eps WHERE regexp_matches(text, '{pat}')"""
+            )
+    body = "\n    UNION ALL".join(parts)
+    return f"""WITH {episodes_cte},
+  raw AS ({body})
+  SELECT episode_uuid, group_id, entity_name,
+         cast(min(mention_order) as int) AS mention_order
+  FROM raw WHERE coalesce(entity_name, '') <> ''
+  GROUP BY episode_uuid, group_id, entity_name"""

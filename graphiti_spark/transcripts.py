@@ -1,0 +1,161 @@
+"""Transcript inputs.
+
+Two sources of the canonical `transcripts(conv_id, turn_idx, role,
+text, tool, ts)` table (BASELINE.json input_hint):
+
+1. ``TRANSCRIPTS_SQL`` — a deterministic derivation from the driver's
+   `events` table, written in the common SQL dialect of Spark SQL and
+   DuckDB so the *identical* statement runs in both engines. This is
+   what makes the KG-pipeline operators oracle-checkable: the DuckDB
+   oracle rebuilds the same transcripts from the same parquet and
+   mirrors the extraction rules in SQL.
+
+2. ``synthesize_transcripts`` — a seeded generator (FIXTURES.md §1)
+   with ground-truth triples known by construction, used by pytest and
+   by bench.py at configurable scale (including skewed conversation
+   lengths to exercise salting/AQE).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from graphiti_spark import rules
+
+PEOPLE = ["Alice", "Bob", "Carol", "Dave", "Erin", "Frank", "Grace", "Heidi"]
+COMPANIES = ["Acme", "Globex", "Initech", "Umbrella", "Hooli", "Stark"]
+CITIES = ["Paris", "London", "Tokyo", "Berlin", "Sydney", "Oslo"]
+# alias surface forms per person (exercise dedupe blocking, FIXTURES.md §1)
+ALIASES = {
+    "Alice": ["Alice", "Alice Smith"],
+    "Bob": ["Bob", "Bob Jones"],
+    "Carol": ["Carol", "Carol King"],
+    "Dave": ["Dave", "Dave Lee"],
+    "Erin": ["Erin", "Erin Cole"],
+    "Frank": ["Frank", "Frank Moore"],
+    "Grace": ["Grace", "Grace Park"],
+    "Heidi": ["Heidi", "Heidi Klum"],
+}
+
+
+def _sql_pick(expr: str, vocab: list[str]) -> str:
+    """CASE <expr> WHEN i THEN vocab[i] ... — valid in Spark SQL and DuckDB."""
+    whens = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(vocab))
+    return f"CASE {expr} {whens} END"
+
+
+_P = _sql_pick("user_id % 8", PEOPLE)
+_Q = _sql_pick("(user_id + 3) % 8", PEOPLE)
+_C = _sql_pick("event_id % 6", COMPANIES)
+_L = _sql_pick("event_id % 6", CITIES)
+
+# One statement, two engines. Templates line up 1:1 with rules.RULES.
+TRANSCRIPTS_SQL = f"""
+SELECT
+  concat('conv-', cast(user_id AS string)) AS conv_id,
+  cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+  CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+  CASE event_id % 8
+    WHEN 0 THEN concat({_P}, ' works at ', {_C}, '.')
+    WHEN 1 THEN concat({_P}, ' no longer works at ', {_C}, '.')
+    WHEN 2 THEN concat({_P}, ' moved to ', {_L}, '.')
+    WHEN 3 THEN concat({_P}, ' likes ', {_Q}, '.')
+    WHEN 4 THEN concat({_P}, ' dislikes ', {_Q}, '.')
+    WHEN 5 THEN concat({_P}, ' is the CEO of ', {_C}, '.')
+    WHEN 6 THEN concat('Tell me about ', {_C}, '.')
+    ELSE 'The weather is nice today.'
+  END AS text,
+  CASE WHEN event_type = 'click' THEN 'browser'
+       WHEN event_type = 'purchase' THEN 'checkout'
+       ELSE '' END AS tool,
+  ts
+FROM events
+"""
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(TRANSCRIPTS_SQL)
+
+
+def transcripts_sql_cte() -> str:
+    """`transcripts AS (...)` CTE body for DuckDB oracle queries."""
+    return f"transcripts AS ({TRANSCRIPTS_SQL})"
+
+
+# ---------------------------------------------------------------------------
+# Seeded synthetic generator with known ground truth (FIXTURES.md §1).
+# ---------------------------------------------------------------------------
+
+def synthesize_transcripts_pdf(
+    n_convs: int = 20,
+    turns_per_conv: int = 10,
+    seed: int = 42,
+    skew_frac: float = 0.02,
+    skew_mult: int = 20,
+) -> pd.DataFrame:
+    """Pure function of (seed, sizes) → transcripts pandas frame.
+
+    A `skew_frac` fraction of conversations is `skew_mult`× longer than
+    the median to exercise skew handling. Alias surface forms are used
+    for subjects on odd turns so node dedupe has real work to do.
+    """
+    rng = np.random.default_rng(seed)
+    rows = []
+    base_ts = pd.Timestamp("2025-01-01 00:00:00")
+    for ci in range(n_convs):
+        conv_id = f"conv{ci:05d}"
+        n_turns = turns_per_conv * (skew_mult if rng.random() < skew_frac else 1)
+        for ti in range(n_turns):
+            r = int(rng.integers(0, 8))
+            p = PEOPLE[int(rng.integers(0, len(PEOPLE)))]
+            p_surface = ALIASES[p][ti % 2 if len(ALIASES[p]) > 1 else 0]
+            q = PEOPLE[int(rng.integers(0, len(PEOPLE)))]
+            c = COMPANIES[int(rng.integers(0, len(COMPANIES)))]
+            ll = CITIES[int(rng.integers(0, len(CITIES)))]
+            if r == 0:
+                text = f"{p_surface} works at {c}."
+            elif r == 1:
+                text = f"{p_surface} no longer works at {c}."
+            elif r == 2:
+                text = f"{p_surface} moved to {ll}."
+            elif r == 3:
+                text = f"{p_surface} likes {q}."
+            elif r == 4:
+                text = f"{p_surface} dislikes {q}."
+            elif r == 5:
+                text = f"{p_surface} is the CEO of {c}."
+            elif r == 6:
+                text = f"Tell me about {c}."
+            else:
+                text = "The weather is nice today."
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": ti,
+                    "role": "user" if ti % 2 == 0 else "assistant",
+                    "text": text,
+                    "tool": "",
+                    "ts": base_ts + pd.Timedelta(minutes=ci * 1000 + ti),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return pdf
+
+
+def synthesize_transcripts(spark: SparkSession, **kw) -> DataFrame:
+    from graphiti_spark.schemas import TRANSCRIPTS
+
+    return spark.createDataFrame(synthesize_transcripts_pdf(**kw), schema=TRANSCRIPTS)
+
+
+def ground_truth_triples_pdf(transcripts: pd.DataFrame) -> pd.DataFrame:
+    """Reference oracle: run the rule engine row-at-a-time in plain pandas
+    (no Spark) to get expected (subj, pred, obj, valid_at, invalid_at)."""
+    eps = transcripts.rename(columns={"ts": "valid_at"}).copy()
+    eps["uuid"] = eps["conv_id"] + ":" + eps["turn_idx"].astype(str)
+    eps["group_id"] = eps["conv_id"]
+    return rules.extract_triples_pdf(eps[["uuid", "group_id", "text", "valid_at"]])

@@ -1,0 +1,101 @@
+"""Extraction & episode windowing vs the pure-pandas reference oracle.
+
+BASELINE.md target: Spark pipeline and the rule-engine oracle must
+agree exactly (P/R = 1.0 ≥ 0.95) on the (subj, pred, obj) multiset per
+conversation, and per-turn text equality must hold under stable
+(conv_id, turn_idx) ordering.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from graphiti_spark import rules, transcripts
+from graphiti_spark.operators import episodes as ep_ops
+from graphiti_spark.operators import extraction
+
+
+def _triple_multiset(pdf: pd.DataFrame) -> list[tuple]:
+    return sorted(
+        (r.group_id, r.subj_name, r.pred, r.obj_name)
+        for r in pdf.itertuples()
+    )
+
+
+def test_per_turn_text_equality(spark):
+    tdf = transcripts.synthesize_transcripts(spark, n_convs=10, turns_per_conv=8)
+    eps = ep_ops.build_episodes(tdf)
+    joined = (
+        eps.join(tdf, (eps.group_id == tdf.conv_id) & (eps.turn_idx == tdf.turn_idx))
+        .selectExpr("content", "concat(role, ': ', text) AS expected")
+        .toPandas()
+    )
+    assert len(joined) == tdf.count()
+    assert (joined["content"] == joined["expected"]).all()
+
+
+def test_triples_match_oracle(spark):
+    pdf = transcripts.synthesize_transcripts_pdf(n_convs=30, turns_per_conv=10)
+    tdf = spark.createDataFrame(pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    eps = ep_ops.build_episodes(tdf)
+    got = extraction.extract_triples(eps).toPandas()
+
+    expected = transcripts.ground_truth_triples_pdf(pdf)
+    assert _triple_multiset(got) == _triple_multiset(expected)
+    # P/R == 1.0 by construction; sanity: non-trivial corpus
+    assert len(expected) > 50
+
+
+def test_mentions_speaker_first(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": ["user", "assistant"],
+            "text": ["Alice works at Acme.", "The weather is nice today."],
+            "tool": ["", ""],
+            "ts": pd.to_datetime(["2025-01-01 00:00:00", "2025-01-01 00:01:00"]),
+        }
+    )
+    tdf = spark.createDataFrame(pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    eps = ep_ops.build_episodes(tdf)
+    got = extraction.extract_mentions(eps).toPandas().sort_values(["episode_uuid", "mention_order"])
+    by_ep = got.groupby("episode_uuid")["entity_name"].apply(list).to_dict()
+    lists = sorted(by_ep.values(), key=len)
+    assert lists[0] == ["assistant"]  # speaker always extracted, even alone
+    assert lists[1] == ["user", "Alice", "Acme"]  # speaker first, then subj, obj
+
+
+def test_prev_episode_window(spark):
+    tdf = transcripts.synthesize_transcripts(spark, n_convs=3, turns_per_conv=6)
+    eps = ep_ops.with_prev_context(ep_ops.build_episodes(tdf))
+    got = eps.selectExpr("group_id", "turn_idx", "size(prev_uuids) AS n_prev").toPandas()
+    for r in got.itertuples():
+        assert r.n_prev == min(r.turn_idx, 3)
+
+
+def test_retrieve_episodes_last_n(spark):
+    tdf = transcripts.synthesize_transcripts(spark, n_convs=2, turns_per_conv=10)
+    eps = ep_ops.build_episodes(tdf)
+    got = ep_ops.retrieve_episodes(eps, "2026-01-01 00:00:00", last_n=4).toPandas()
+    assert (got.groupby("group_id").size() == 4).all()
+    # chronological within group & equal to the LAST 4 turns
+    for _, g in got.groupby("group_id"):
+        assert list(g["turn_idx"]) == [6, 7, 8, 9]
+
+
+def test_oracle_sql_matches_rules_on_duckdb():
+    """The generated DuckDB oracle SQL reproduces the pandas rule engine."""
+    import duckdb
+
+    pdf = transcripts.synthesize_transcripts_pdf(n_convs=20, turns_per_conv=10)
+    eps = pdf.rename(columns={"ts": "valid_at"}).copy()
+    eps["uuid"] = eps["conv_id"] + ":" + eps["turn_idx"].astype(str)
+    eps["group_id"] = eps["conv_id"]
+    expected = rules.extract_triples_pdf(eps[["uuid", "group_id", "text", "valid_at"]])
+
+    con = duckdb.connect()
+    con.register("eps_src", eps[["uuid", "group_id", "text", "valid_at"]])
+    sql = rules.triples_oracle_sql("eps AS (SELECT * FROM eps_src)")
+    got = con.sql(sql).df()
+    assert _triple_multiset(got) == _triple_multiset(expected)
