@@ -1,0 +1,125 @@
+"""Benchmark harness — one JSON line per run (driver contract).
+
+Headline queries over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. `value` = total wall seconds across the
+headline set; per-query seconds under "queries". Execution is forced
+with the noop sink (full pipeline runs, nothing collected).
+
+Scaling evidence (north rule: N vs 4N executors) is produced by
+scripts/bench_scaling.py which runs the same pipeline at local[8] and
+local[32] and writes BENCH.md; this file stays a single-process bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphiti_spark import transcripts as tr  # noqa: E402
+from graphiti_spark.operators import dataset_ann as ann  # noqa: E402
+from graphiti_spark.operators import dataset_dedup as ddp  # noqa: E402
+from graphiti_spark.operators import dataset_text as dtx  # noqa: E402
+from graphiti_spark.operators import search as srch  # noqa: E402
+from graphiti_spark.plans import pipeline as pl  # noqa: E402
+from graphiti_spark.session import get_spark  # noqa: E402
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="graphiti_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    read = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    n_turns = read("events").count()
+
+    def q_kg_pipeline():
+        t = tr.transcripts_from_events(spark, sf_dir)
+        tables = pl.build_graph(t, with_embeddings=True)
+        force(tables["edges"])
+        force(tables["nodes"])
+        force(tables["mentions"])
+
+    def q_kg_extraction_only():
+        t = tr.transcripts_from_events(spark, sf_dir)
+        from graphiti_spark.operators import episodes as ep_ops, extraction as ex
+
+        force(ex.extract_triples(ep_ops.build_episodes(t)))
+
+    def q_bm25():
+        force(srch.bm25_search(read("documents"), "text", "data join query spark", id_col="doc_id", limit=10))
+
+    def q_ann_topk():
+        embs = read("embeddings")
+        probes = embs.filter("vec_id < 8").select(F.col("vec_id").alias("qid"), "embedding")
+        force(ann.cosine_topk_join(probes, embs, k=10))
+
+    def q_minhash():
+        force(ddp.minhash_pairs(read("documents"), threshold=0.75))
+
+    def q_simhash():
+        force(ddp.simhash(read("documents")).select("doc_id", "simhash"))
+
+    def q_text_quality():
+        force(dtx.quality_score(dtx.lang_id(read("documents"))))
+
+    def q_tpch_mix():
+        li = read("lineitem")
+        force(
+            li.groupBy("l_returnflag", "l_linestatus").agg(
+                F.sum("l_quantity"), F.sum("l_extendedprice"), F.avg("l_discount"), F.count("*")
+            )
+        )
+        o, c = read("orders"), read("customer")
+        force(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum("o_totalprice"), F.count("*"))
+        )
+
+    bench = {
+        "kg_pipeline": q_kg_pipeline,
+        "kg_extraction_only": q_kg_extraction_only,
+        "bm25_documents": q_bm25,
+        "ann_topk": q_ann_topk,
+        "minhash_pairs": q_minhash,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "tpch_mix": q_tpch_mix,
+    }
+
+    times: dict[str, float] = {}
+    for name, fn in bench.items():
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    turns_per_sec = round(n_turns / times["kg_pipeline"], 1) if times.get("kg_pipeline") else None
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "turns_per_sec_kg_pipeline": turns_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

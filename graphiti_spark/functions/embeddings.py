@@ -1,0 +1,63 @@
+"""Deterministic local embeddings + vector math (SURVEY §1.3, §2.9 F3/F4).
+
+The reference calls a remote embedder (embedder/client.py:29-37,
+dim 1024) and L2-normalizes at use (helpers.py:104-107). The sandbox
+stand-in is a feature-hashed character-trigram embedding (crc32 —
+process-stable, seed-free) computed in an Arrow-batched pandas UDF,
+L2-normalized at creation so cosine == dot product. Pluggable: any
+pandas_udf text→array<float> with the same signature slots in
+(EmbedderClient contract, §2.12).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphiti_spark.schemas import EMBEDDING_DIM
+
+
+def embed_texts_np(texts: pd.Series, dim: int = EMBEDDING_DIM) -> np.ndarray:
+    """(n,) strings → (n, dim) float32, L2-normalized. Vectorized per batch."""
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, t in enumerate(texts.fillna("").str.lower()):
+        s = f"  {t} "  # pad so 1-2 char names still yield trigrams
+        for j in range(len(s) - 2):
+            h = zlib.crc32(s[j : j + 3].encode("utf-8"))
+            out[i, h % dim] += 1.0 if (h >> 16) & 1 else -1.0
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out.astype(np.float32)
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series(list(embed_texts_np(texts)))
+
+
+def normalize_l2(col: Column) -> Column:
+    """F3 — zero-safe L2 normalization as a builtin expression."""
+    norm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(norm > 0, F.transform(col, lambda x: x / norm)).otherwise(col)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """F4 — cosine on pre-normalized vectors, JVM-side (no UDF)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sim_bands(col: Column, n_bits: int = 8) -> Column:
+    """Random-hyperplane sign bucket for LSH blocking of cosine joins:
+    vectors with cosine ≥ ~0.8 mostly agree on leading-dimension signs.
+    Uses the first `n_bits` dimensions as the (deterministic) projection
+    basis — adequate for hash embeddings whose dims are exchangeable."""
+    bit = lambda i: F.when(F.element_at(col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    expr = bit(0)
+    for i in range(1, n_bits):
+        expr = expr + bit(i)
+    return expr

@@ -1,0 +1,171 @@
+"""Document deduplication family for training-data pipelines.
+
+Beyond-reference operators (per the build brief): exact hash dedup,
+MinHash near-dup with banded LSH, SimHash, and n-gram Jaccard — each
+expressed with built-in Spark functions only (md5 / array ops /
+joins), so (a) they stay inside whole-stage codegen with no Python in
+the hot path, and (b) a DuckDB oracle can mirror them function-for-
+function (md5 and list ops agree across engines).
+
+Scale notes: every near-dup variant is a *blocked* self-join — the
+pair space is bounded by an equi-join key (hash band / signature
+component / shared token), never a cross join. At 100 TB the band
+join is the standard MinHash-LSH shuffle; skewed bands (stop-word
+shingles) are handled by AQE skew splitting, and `n_hashes`/band
+width tune recall vs shuffle width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions import text as tx
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per md5(text). One shuffle."""
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 8) -> DataFrame:
+    """Token-shingle MinHash: component j = min over tokens of
+    md5(j || '|' || token) (lexicographic min of a stable hash — the
+    same permutation trick as integer MinHash, reproducible in any
+    engine with md5)."""
+    out = df.withColumn("toks", tx.tokens(F.col(text_col)))
+    for j in range(n_hashes):
+        out = out.withColumn(
+            f"mh{j}",
+            F.array_min(F.transform(F.col("toks"), lambda t: F.md5(F.concat(F.lit(f"{j}|"), t)))),
+        )
+    return out
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded LSH (band width 1): candidate pair iff any signature
+    component collides; estimated Jaccard = matching components / n.
+    Returns (src, dst, est_jaccard) with src < dst."""
+    sig = minhash_signature(df, text_col, n_hashes).select(
+        F.col(id_col).alias("id"), *[f"mh{j}" for j in range(n_hashes)]
+    )
+    bands = sig.select(
+        "id",
+        F.explode(F.array(*[F.struct(F.lit(j).alias("band"), F.col(f"mh{j}").alias("h")) for j in range(n_hashes)])).alias("bh"),
+    ).select("id", "bh.band", "bh.h")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("src"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n_hashes)])
+    sb = sig.select(F.col("id").alias("dst"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n_hashes)])
+    est = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(n_hashes)
+    ) / float(n_hashes)
+    return (
+        cand.join(sa, "src")
+        .join(sb, "dst")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("src", "dst", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", n_bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: bit b = majority vote over tokens of the
+    parity of hex digit b of md5(token). Returns input + `simhash` long.
+    Engine-portable: only md5 / substring / strpos arithmetic."""
+    out = df.withColumn("toks", tx.tokens(F.col(text_col)))
+    hexd = "0123456789abcdef"
+
+    def make_vote(b: int):
+        def step(acc, t):
+            digit = F.instr(F.lit(hexd), F.substring(F.md5(t), b + 1, 1)) - 1
+            return acc + F.when(digit % 2 == 1, 1).otherwise(-1)
+
+        return F.aggregate(F.col("toks"), F.lit(0), step)
+
+    bit_votes = [
+        F.when(make_vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(n_bits)
+    ]
+    return out.withColumn("simhash", sum(bit_votes).cast("long")).drop("toks")
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on half-
+    fingerprint bands (a pair within hamming ≤ 2 of 16 bits collides on
+    at least one 8-bit half)."""
+    s = simhash(df, text_col, n_bits).select(F.col(id_col).alias("id"), "simhash")
+    half = 1 << (n_bits // 2)
+    bands = s.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("simhash") % half).alias("h")),
+                F.struct(F.lit(1).alias("band"), (F.col("simhash") / half).cast("long").alias("h")),
+            )
+        ).alias("bh"),
+    ).select("id", "simhash", "bh.band", "bh.h")
+    a, b = bands.alias("a"), bands.alias("b")
+    xor = F.expr("a.simhash ^ b.simhash")
+    hamming = sum(F.expr(f"(a.simhash ^ b.simhash) div {1 << i}") % 2 for i in range(n_bits))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"), hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard near-dup: shared-token blocking join, then
+    |∩| / |∪| from per-doc set sizes + pair intersection counts.
+    (The word-overlap analog the reference itself uses for blocking,
+    bulk_utils.py:226-243.)"""
+    toks = df.select(F.col(id_col).alias("id"), tx.tokens(F.col(text_col)).alias("toks"))
+    sizes = toks.select("id", F.size("toks").alias("n"))
+    posting = toks.select("id", F.explode("toks").alias("tok"))
+    inter = (
+        posting.alias("a")
+        .join(posting.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "src").withColumnRenamed("n", "n_src"), "src")
+        .join(sizes.withColumnRenamed("id", "dst").withColumnRenamed("n", "n_dst"), "dst")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_src") + F.col("n_dst") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )

@@ -1,0 +1,164 @@
+"""Node dedupe: blocking, pairwise verdict, canonicalization
+(SURVEY §2.4 J4/J5/J8 + §2.6 G1).
+
+Reference semantics replicated:
+  * Blocking (bulk_utils.py:216-244): a candidate pair is considered
+    when name word-sets overlap OR name-embedding cosine ≥ 0.8. This
+    is the reference's own join pruning; here it is a token-key
+    equi-join ∪ an LSH sign-band equi-join — both shuffle on
+    (group_id, key) and never cross groups.
+  * Verdict (deterministic analog of the dedupe_nodes prompt
+    "same real-world object or concept; related-but-distinct are NOT
+    duplicates" — prompts/dedupe_nodes.py:151-156): names are
+    duplicates iff lowercased-equal, OR first tokens equal and one
+    name's token set is a subset of the other's (alias: "Alice" ≡
+    "Alice Smith"). Embedding similarity alone never merges.
+  * Canonical uuid = lexicographically smallest in the duplicate
+    component (bulk_utils.py:392-396) via connected components.
+
+Scale notes: all joins are keyed by (group_id, block_key) so
+partition pruning holds; hot groups rely on AQE skew-join splitting;
+token blocking emits O(tokens) rows not O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions import embeddings as emb
+from graphiti_spark.functions import text as tx
+from graphiti_spark.operators.connected_components import uuid_map_from_pairs
+
+NODE_COSINE_THRESHOLD = 0.8  # reference bulk_utils.py:208
+
+
+def distinct_entities(mentions_with_uuid: DataFrame) -> DataFrame:
+    """mention rows → one row per (group_id, entity_uuid, entity_name)."""
+    return mentions_with_uuid.select("group_id", "entity_uuid", "entity_name").distinct()
+
+
+def candidate_pairs(
+    entities: DataFrame, use_embedding_block: bool = False
+) -> DataFrame:
+    """J4 blocking → (group_id, src, dst, src_name, dst_name), src < dst."""
+    base = entities.select(
+        "group_id",
+        F.col("entity_uuid").alias("uuid"),
+        F.col("entity_name").alias("name"),
+        tx.tokens(F.col("entity_name")).alias("toks"),
+    )
+    tok = base.select("group_id", "uuid", "name", "toks", F.explode("toks").alias("tok"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.group_id") == F.col("b.group_id"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.uuid") < F.col("b.uuid")),
+        )
+        .select(
+            F.col("a.group_id").alias("group_id"),
+            F.col("a.uuid").alias("src"),
+            F.col("b.uuid").alias("dst"),
+            F.col("a.name").alias("src_name"),
+            F.col("b.name").alias("dst_name"),
+            F.col("a.toks").alias("src_toks"),
+            F.col("b.toks").alias("dst_toks"),
+        )
+        .dropDuplicates(["group_id", "src", "dst"])
+    )
+    if use_embedding_block:
+        e = base.withColumn("embedding", emb.embed_udf(F.col("name"))).withColumn(
+            "band", emb.sim_bands(F.col("embedding"))
+        )
+        ea, ebb = e.alias("a"), e.alias("b")
+        epairs = (
+            ea.join(
+                ebb,
+                (F.col("a.group_id") == F.col("b.group_id"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.uuid") < F.col("b.uuid")),
+            )
+            .filter(emb.dot(F.col("a.embedding"), F.col("b.embedding")) >= NODE_COSINE_THRESHOLD)
+            .select(
+                F.col("a.group_id").alias("group_id"),
+                F.col("a.uuid").alias("src"),
+                F.col("b.uuid").alias("dst"),
+                F.col("a.name").alias("src_name"),
+                F.col("b.name").alias("dst_name"),
+                F.col("a.toks").alias("src_toks"),
+                F.col("b.toks").alias("dst_toks"),
+            )
+        )
+        pairs = pairs.unionByName(epairs).dropDuplicates(["group_id", "src", "dst"])
+    return pairs
+
+
+def duplicate_pairs(pairs: DataFrame) -> DataFrame:
+    """J5 deterministic verdict over blocked pairs."""
+    exact = F.lower(F.col("src_name")) == F.lower(F.col("dst_name"))
+    first_tok_eq = F.element_at("src_toks", 1) == F.element_at("dst_toks", 1)
+    subset = (F.size(F.array_except("src_toks", "dst_toks")) == 0) | (
+        F.size(F.array_except("dst_toks", "src_toks")) == 0
+    )
+    return pairs.filter(exact | (first_tok_eq & subset)).select("group_id", "src", "dst")
+
+
+def resolve_nodes(mentions_with_uuid: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """J8: full within-batch node dedupe.
+
+    Returns (entities, uuid_map): `entities` is one row per raw
+    (group_id, entity_uuid, entity_name); `uuid_map` maps raw → canonical
+    for every raw uuid in a duplicate component (identity rows omitted).
+    """
+    entities = distinct_entities(mentions_with_uuid)
+    dups = duplicate_pairs(candidate_pairs(entities))
+    return entities, uuid_map_from_pairs(dups)
+
+
+def canonical_nodes(
+    entities: DataFrame, uuid_map: DataFrame, created_at_lit, with_embeddings: bool = True
+) -> DataFrame:
+    """Project the canonical nodes table (schemas.NODES minus summary /
+    attributes hydration, which extract_attributes fills later).
+
+    Canonical node name = the name of the lexicographically-smallest raw
+    uuid (deterministic arg-min, SURVEY §4 determinism note)."""
+    mapped = (
+        entities.join(
+            uuid_map.select(
+                F.col("raw_uuid").alias("entity_uuid"), "canonical_uuid"
+            ),
+            "entity_uuid",
+            "left",
+        )
+        .withColumn("uuid", F.coalesce("canonical_uuid", "entity_uuid"))
+    )
+    nodes = (
+        mapped.groupBy("group_id", "uuid")
+        .agg(
+            F.min_by("entity_name", "entity_uuid").alias("name"),
+            F.sort_array(F.collect_set("entity_name")).alias("alias_names"),
+        )
+        .select(
+            "uuid",
+            "name",
+            "group_id",
+            F.array(F.lit("Entity")).alias("labels"),
+            F.concat_ws("; ", F.col("alias_names")).alias("summary"),
+            F.map_from_arrays(
+                F.array(F.lit("aliases")), F.array(F.concat_ws("|", F.col("alias_names")))
+            ).alias("attributes"),
+        )
+        .withColumn("created_at", F.lit(created_at_lit).cast("timestamp"))
+    )
+    if with_embeddings:
+        nodes = nodes.withColumn(
+            "name_embedding", emb.embed_udf(F.regexp_replace(F.col("name"), "\n", " "))
+        )
+    else:
+        nodes = nodes.withColumn("name_embedding", F.lit(None).cast("array<float>"))
+    return nodes.select(
+        "uuid", "name", "group_id", "labels", "summary", "attributes", "name_embedding", "created_at"
+    )

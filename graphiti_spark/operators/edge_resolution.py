@@ -1,0 +1,183 @@
+"""Edge resolution: pointer rewrite, dedupe, bi-temporal invalidation
+(SURVEY §2.3 P4, §2.4 J6/J7, §2.5 T1-T3).
+
+Batch semantics (the reference's own bulk model, graphiti.py:554-831):
+
+1. resolve_edge_pointers (bulk_utils.py:420-427): rewrite endpoints
+   through uuid_map — two broadcast-able left joins + coalesce.
+2. Edge dedupe (edge_operations.py:378-436 verdict `duplicate_facts`):
+   deterministic analog — edges with identical directed
+   (group_id, src, dst, pred) are the same fact; the earliest
+   (valid_at asc nulls last, then episode_uuid — explicit sort keys
+   per SURVEY §4.5) row's uuid/fact win and provenance episode lists
+   union (reference appends episodes to the existing edge,
+   edge_operations.py:428-436).
+3. Temporal invalidation — the pure interval rules of
+   resolve_edge_contradictions (edge_operations.py:345-375,474-488)
+   replayed as window expressions. Contradiction sources for an
+   asserted edge e = (g, s, o, p, valid_at=v):
+     * termination statements of the same directed triple with
+       invalid_at > v (date rule prompts/extract_edges.py:117-124);
+     * antonym-predicate assertions (LIKES ↔ DISLIKES,
+       test_temporal_operations_int.py:96-264) on the same (g, s, o)
+       with valid_at > v.
+   e.invalid_at := min over both sources (T1 from the older edge's
+   view / T2 from the newer edge's view — one symmetric batch rule);
+   T3: any edge with invalid_at set gets expired_at = run_ts
+   (edge_operations.py:471-472).
+
+Everything below is joins + window aggregates on keys that include
+group_id — shuffles stay partition-pruned per conversation group and
+AQE splits skewed groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphiti_spark import rules
+from graphiti_spark.functions import embeddings as emb
+
+
+def resolve_edge_pointers(triples: DataFrame, uuid_map: DataFrame) -> DataFrame:
+    """P4 — rewrite subj_uuid/obj_uuid via canonical map; identity when
+    unmapped. uuid_map is small relative to triples → broadcast."""
+    m = F.broadcast(uuid_map.select("raw_uuid", "canonical_uuid"))
+    t = (
+        triples.join(m.withColumnRenamed("raw_uuid", "subj_uuid"), "subj_uuid", "left")
+        .withColumn("subj_uuid", F.coalesce("canonical_uuid", "subj_uuid"))
+        .drop("canonical_uuid")
+    )
+    return (
+        t.join(m.withColumnRenamed("raw_uuid", "obj_uuid"), "obj_uuid", "left")
+        .withColumn("obj_uuid", F.coalesce("canonical_uuid", "obj_uuid"))
+        .drop("canonical_uuid")
+    )
+
+
+def _antonym_col(pred):
+    expr = F.lit(None).cast("string")
+    for p, q in rules.ANTONYMS.items():
+        expr = F.when(pred == p, F.lit(q)).otherwise(expr)
+    return expr
+
+
+def resolve_edges(
+    triples: DataFrame, run_ts: str, with_embeddings: bool = True
+) -> DataFrame:
+    """triples (post pointer-rewrite, columns episode_uuid group_id
+    subj_uuid obj_uuid subj_name pred obj_name fact valid_at invalid_at
+    edge_uuid) → canonical bi-temporal edges (schemas.EDGES)."""
+    key = ["group_id", "subj_uuid", "obj_uuid", "pred"]
+
+    asserted = triples.filter(F.col("valid_at").isNotNull())
+    terminations = triples.filter(
+        F.col("invalid_at").isNotNull() & F.col("valid_at").isNull()
+    )
+
+    # -- 2. dedupe identical directed facts: first-win with explicit order
+    w = Window.partitionBy(*key).orderBy(
+        F.col("valid_at").asc_nulls_last(), F.col("episode_uuid").asc()
+    )
+    merged = (
+        asserted.withColumn("rn", F.row_number().over(w))
+        .groupBy(*key)
+        .agg(
+            F.min_by("edge_uuid", "rn").alias("uuid"),
+            F.min_by("fact", "rn").alias("fact"),
+            F.min("valid_at").alias("valid_at"),
+            F.sort_array(F.collect_set("episode_uuid")).alias("episodes"),
+            F.min_by("subj_name", "rn").alias("subj_name"),
+            F.min_by("obj_name", "rn").alias("obj_name"),
+        )
+    )
+
+    # -- 3a. termination statements: min invalid_at later than valid_at
+    term_agg = terminations.groupBy(*key).agg(
+        F.sort_array(F.collect_list("invalid_at")).alias("term_times"),
+        F.sort_array(F.collect_set("episode_uuid")).alias("term_episodes"),
+        F.min_by("edge_uuid", "edge_uuid").alias("term_uuid"),
+        F.min_by("fact", "edge_uuid").alias("term_fact"),
+    )
+    with_term = merged.join(term_agg, key, "left").withColumn(
+        "term_invalid_at",
+        F.array_min(F.filter(F.col("term_times"), lambda t: t > F.col("valid_at"))),
+    )
+
+    # -- 3b. antonym assertions on the same (group, subj, obj)
+    antonyms = merged.select(
+        "group_id",
+        "subj_uuid",
+        "obj_uuid",
+        _antonym_col(F.col("pred")).alias("pred"),
+        F.col("valid_at").alias("anto_valid_at"),
+    ).filter(F.col("pred").isNotNull())
+    anto_w = Window.partitionBy(*key).orderBy("anto_valid_at")
+    anto_agg = antonyms.groupBy(*key).agg(
+        F.sort_array(F.collect_list("anto_valid_at")).alias("anto_times")
+    )
+    resolved = (
+        with_term.join(anto_agg, key, "left")
+        .withColumn(
+            "anto_invalid_at",
+            F.array_min(F.filter(F.col("anto_times"), lambda t: t > F.col("valid_at"))),
+        )
+        .withColumn("invalid_at", F.least("term_invalid_at", "anto_invalid_at"))
+    )
+
+    # -- termination statements are edges too (fact with invalid_at set,
+    #    valid_at NULL — they expire immediately per T3)
+    term_edges = term_agg.select(
+        *key,
+        F.col("term_uuid").alias("uuid"),
+        F.col("term_fact").alias("fact"),
+        F.lit(None).cast("timestamp").alias("valid_at"),
+        F.col("term_episodes").alias("episodes"),
+        F.element_at("term_times", 1).alias("invalid_at"),
+    )
+    # recover display names for termination-only triples
+    term_names = (
+        terminations.groupBy(*key)
+        .agg(
+            F.min_by("subj_name", "edge_uuid").alias("subj_name"),
+            F.min_by("obj_name", "edge_uuid").alias("obj_name"),
+        )
+    )
+    term_edges = term_edges.join(term_names, key, "left")
+
+    all_edges = resolved.select(
+        *key, "uuid", "fact", "valid_at", "episodes", "invalid_at", "subj_name", "obj_name"
+    ).unionByName(term_edges)
+
+    # -- T3 + final projection to schemas.EDGES
+    out = (
+        all_edges.withColumn(
+            "expired_at",
+            F.when(F.col("invalid_at").isNotNull(), F.lit(run_ts).cast("timestamp")),
+        )
+        .select(
+            "uuid",
+            F.col("subj_uuid").alias("source_node_uuid"),
+            F.col("obj_uuid").alias("target_node_uuid"),
+            F.col("pred").alias("name"),
+            "fact",
+            "group_id",
+            "episodes",
+            F.lit(run_ts).cast("timestamp").alias("created_at"),
+            "expired_at",
+            "valid_at",
+            "invalid_at",
+            F.col("subj_name"),
+            F.col("obj_name"),
+        )
+    )
+    if with_embeddings:
+        out = out.withColumn(
+            "fact_embedding", emb.embed_udf(F.regexp_replace(F.col("fact"), "\n", " "))
+        )
+    else:
+        out = out.withColumn("fact_embedding", F.lit(None).cast("array<float>"))
+    return out.withColumn(
+        "attributes", F.lit(None).cast("map<string,string>")
+    )

@@ -1,0 +1,367 @@
+"""DuckDB oracle SQL builders for the driver correctness gate.
+
+Each builder returns ANSI-ish SQL runnable by DuckDB against the
+pre-registered parquet views (region nation customer supplier part
+orders lineitem events documents embeddings). KG queries rebuild the
+transcripts deterministically from `events` with the *identical*
+statement Spark runs (transcripts.TRANSCRIPTS_SQL) and mirror the
+extraction rule engine in SQL (rules.triples_select_sql) — so the
+whole KG dataflow through bi-temporal invalidation is oracle-checked,
+not just relational glue.
+
+Cross-engine dialect notes (validated):
+  * `cast(x AS string)` works in both (DuckDB aliases STRING→VARCHAR).
+  * `least()` skips NULLs in both.
+  * `ln` natural log in both (DuckDB `log` is log10 — never use bare log).
+  * regex patterns avoid lookarounds (DuckDB is RE2).
+"""
+
+from __future__ import annotations
+
+from graphiti_spark import rules
+from graphiti_spark.transcripts import TRANSCRIPTS_SQL
+
+CTE_TRANSCRIPTS = f"transcripts AS ({TRANSCRIPTS_SQL})"
+
+CTE_EPS = """eps AS (
+  SELECT md5(concat_ws('|', 'ep', conv_id, conv_id, cast(turn_idx AS string))) AS uuid,
+         conv_id AS group_id, role, text,
+         concat(role, ': ', text) AS content,
+         turn_idx, ts AS valid_at
+  FROM transcripts)"""
+
+ANTONYM_CASE = "CASE pred WHEN 'LIKES' THEN 'DISLIKES' WHEN 'DISLIKES' THEN 'LIKES' END"
+
+
+def kg_base_ctes() -> str:
+    return f"{CTE_TRANSCRIPTS},\n{CTE_EPS}"
+
+
+def kg_triples_ctes() -> str:
+    return f"{kg_base_ctes()},\n  tri AS ({rules.triples_select_sql()})"
+
+
+KG_EPISODES = f"""WITH {CTE_TRANSCRIPTS},
+{CTE_EPS}
+SELECT uuid, group_id, content, valid_at FROM eps"""
+
+KG_PREV_WINDOW = f"""WITH {CTE_TRANSCRIPTS},
+{CTE_EPS}
+SELECT uuid, group_id,
+       cast(coalesce(len(prev_uuids), 0) AS bigint) AS n_prev,
+       coalesce(array_to_string(prev_uuids, ','), '') AS prev_concat
+FROM (
+  SELECT uuid, group_id,
+         list(uuid) OVER (PARTITION BY group_id ORDER BY turn_idx
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_uuids
+  FROM eps)"""
+
+KG_MENTIONS = f"""WITH {CTE_TRANSCRIPTS},
+{CTE_EPS}
+{rules.mentions_select_sql()}"""
+
+KG_TRIPLES = f"""WITH {kg_triples_ctes()}
+SELECT episode_uuid, group_id, subj_name, pred, obj_name, fact, valid_at, invalid_at
+FROM tri"""
+
+KG_NODES = f"""WITH {CTE_TRANSCRIPTS},
+{CTE_EPS},
+  men AS ({rules.mentions_select_sql()})
+SELECT DISTINCT md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+       entity_name AS name, group_id
+FROM men"""
+
+KG_MENTION_COUNTS = f"""WITH {CTE_TRANSCRIPTS},
+{CTE_EPS},
+  men AS ({rules.mentions_select_sql()})
+SELECT group_id,
+       md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS entity_uuid,
+       cast(count(*) AS bigint) AS n_mentions
+FROM men GROUP BY 1, 2"""
+
+# Full bi-temporal edge resolution mirrored in SQL (T1-T3 + dedupe).
+KG_EDGES = f"""WITH {kg_triples_ctes()},
+asserted AS (SELECT * FROM tri WHERE valid_at IS NOT NULL),
+term AS (SELECT * FROM tri WHERE invalid_at IS NOT NULL AND valid_at IS NULL),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY group_id, subj_name, pred, obj_name
+                               ORDER BY valid_at, episode_uuid) AS rn
+  FROM asserted),
+merged AS (
+  SELECT group_id, subj_name, pred, obj_name,
+         min(valid_at) AS valid_at,
+         count(DISTINCT episode_uuid) AS n_episodes
+  FROM asserted GROUP BY 1, 2, 3, 4),
+firstrow AS (SELECT * FROM ranked WHERE rn = 1),
+inv AS (
+  SELECT m.*,
+    (SELECT min(t.invalid_at) FROM term t
+      WHERE t.group_id = m.group_id AND t.subj_name = m.subj_name
+        AND t.pred = m.pred AND t.obj_name = m.obj_name
+        AND t.invalid_at > m.valid_at) AS term_invalid_at,
+    (SELECT min(a2.valid_at) FROM merged a2
+      WHERE a2.group_id = m.group_id AND a2.subj_name = m.subj_name
+        AND a2.obj_name = m.obj_name AND a2.valid_at > m.valid_at
+        AND a2.pred = (CASE m.pred WHEN 'LIKES' THEN 'DISLIKES'
+                                   WHEN 'DISLIKES' THEN 'LIKES' END)) AS anto_invalid_at
+  FROM merged m)
+SELECT md5(concat_ws('|', 'ed', f.group_id, f.episode_uuid, f.subj_name, f.pred, f.obj_name)) AS uuid,
+       i.group_id, i.subj_name, i.pred, i.obj_name, i.valid_at,
+       least(i.term_invalid_at, i.anto_invalid_at) AS invalid_at,
+       cast(i.n_episodes AS bigint) AS n_episodes
+FROM inv i
+JOIN firstrow f USING (group_id, subj_name, pred, obj_name)
+UNION ALL
+SELECT min(md5(concat_ws('|', 'ed', group_id, episode_uuid, subj_name, pred, obj_name))) AS uuid,
+       group_id, subj_name, pred, obj_name,
+       cast(NULL AS timestamp) AS valid_at,
+       min(invalid_at) AS invalid_at,
+       cast(count(DISTINCT episode_uuid) AS bigint) AS n_episodes
+FROM term GROUP BY group_id, subj_name, pred, obj_name"""
+
+KG_RETRIEVE_EPISODES = f"""WITH {CTE_TRANSCRIPTS},
+{CTE_EPS},
+r AS (
+  SELECT uuid, group_id, valid_at,
+         row_number() OVER (PARTITION BY group_id ORDER BY valid_at DESC, uuid DESC) AS rn
+  FROM eps WHERE valid_at <= TIMESTAMP '2024-01-15 00:00:00')
+SELECT uuid, group_id, valid_at FROM r WHERE rn <= 5"""
+
+
+# --- relational / search oracles -------------------------------------------
+
+TOPK_EVENTS_PER_USER = """
+SELECT user_id, event_id, value, cast(rn AS bigint) AS rn FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 3"""
+
+WINDOW_RUNNING_VALUE = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+FROM events"""
+
+AGG_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       cast(count(*) AS bigint) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+JOIN_NATION_REVENUE = """
+SELECT n.n_name AS nation,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       cast(count(*) AS bigint) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+RRF_USER_RANKINGS = """
+WITH by_count AS (
+  SELECT user_id, row_number() OVER (ORDER BY count(*) DESC, user_id) - 1 AS rank
+  FROM events GROUP BY user_id),
+by_value AS (
+  SELECT user_id, row_number() OVER (ORDER BY sum(value) DESC, user_id) - 1 AS rank
+  FROM events GROUP BY user_id),
+u AS (SELECT * FROM by_count UNION ALL SELECT * FROM by_value)
+SELECT user_id, round(sum(1.0 / (rank + 1)), 6) AS score
+FROM u GROUP BY user_id"""
+
+SEARCH_FILTER_EVENTS = """
+SELECT event_id, user_id, event_type, value, ts
+FROM events
+WHERE (ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00')
+  AND (event_type = 'purchase' OR event_type = 'click')
+  AND (value > 50.0 OR value < 5.0)"""
+
+BM25_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS tokset,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS dl
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM toks),
+posting AS (
+  SELECT doc_id, dl, unnest(tokset) AS tok FROM toks),
+qp AS (SELECT * FROM posting WHERE tok IN ('data', 'join', 'query', 'spark')),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qp GROUP BY tok),
+scored AS (
+  SELECT qp.doc_id,
+         sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * (1.0 * (1.2 + 1)) / (1.0 + 1.2 * (1 - 0.75 + 0.75 * qp.dl / stats.avgdl))) AS score
+  FROM qp JOIN dfreq USING (tok) CROSS JOIN stats
+  GROUP BY qp.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+DEDUP_EXACT_DOCUMENTS = """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, cast(count(*) AS bigint) AS dup_count
+FROM documents GROUP BY md5(text)"""
+
+FINGERPRINT_DOCUMENTS = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+FROM documents"""
+
+TOKEN_COUNTS_DOCUMENTS = """
+SELECT doc_id,
+       cast(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS bigint) AS ws_tokens,
+       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bigint) AS subword_tokens
+FROM documents"""
+
+_STOP_EN = "['the','and','of','to','a','in','is','it','you','that']"
+_STOP = {
+    "en": _STOP_EN,
+    "de": "['der','die','das','und','ist','ich','nicht','ein','mit','zu']",
+    "fr": "['le','la','les','et','est','je','ne','un','une','que']",
+    "es": "['el','la','los','y','es','yo','no','un','una','que']",
+}
+
+_TOKS = "list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))"
+
+_HITS = ",\n       ".join(
+    f"len(list_intersect({_TOKS}, {arr})) AS hits_{lang}" for lang, arr in _STOP.items()
+)
+
+_LANG_WINNER = (
+    "CASE WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en' "
+    "WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_fr AND hits_de >= hits_es THEN 'de' "
+    "WHEN hits_fr > 0 AND hits_fr >= hits_en AND hits_fr >= hits_de AND hits_fr >= hits_es THEN 'fr' "
+    "WHEN hits_es > 0 AND hits_es >= hits_en AND hits_es >= hits_de AND hits_es >= hits_fr THEN 'es' "
+    "ELSE 'unknown' END"
+)
+
+LANG_ID_DOCUMENTS = f"""
+WITH h AS (
+  SELECT doc_id,
+       {_HITS}
+  FROM documents)
+SELECT doc_id, {_LANG_WINNER} AS lang_pred FROM h"""
+
+QUALITY_DOCUMENTS = f"""
+WITH q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {_TOKS} AS toks,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS n_all_toks,
+         length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS n_alpha,
+         regexp_matches(text, '[.!?]') AS has_term
+  FROM documents)
+SELECT doc_id,
+       cast(len(toks) AS bigint) AS n_tokens,
+       round(n_alpha * 1.0 / greatest(n_chars, 1), 4) AS alpha_ratio,
+       round(len(list_intersect(toks, {_STOP_EN})) * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio,
+       (CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN n_alpha * 1.0 / greatest(n_chars, 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN len(list_intersect(toks, {_STOP_EN})) * 1.0 / greatest(len(toks), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN has_term THEN 0.25 ELSE 0.0 END) AS quality
+FROM q"""
+
+
+def _mh_cols(n: int) -> str:
+    return ",\n         ".join(
+        f"min(md5(concat('{j}|', tok))) AS mh{j}" for j in range(n)
+    )
+
+
+def minhash_pairs_sql(n_hashes: int = 8, threshold: float = 0.5) -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(n_hashes)
+    )
+    any_eq = " OR ".join(f"a.mh{j} = b.mh{j}" for j in range(n_hashes))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+sig AS (
+  SELECT doc_id,
+         {_mh_cols(n_hashes)}
+  FROM toks GROUP BY doc_id)
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       round(({match_sum}) / {float(n_hashes)}, 4) AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({any_eq})
+WHERE ({match_sum}) / {float(n_hashes)} >= {threshold}"""
+
+
+def simhash_sql(n_bits: int = 16) -> str:
+    hexd = "0123456789abcdef"
+    bits = []
+    for b in range(n_bits):
+        vote = (
+            f"list_sum(list_transform(toks, t -> "
+            f"CASE WHEN (strpos('{hexd}', substr(md5(t), {b + 1}, 1)) - 1) % 2 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"CASE WHEN coalesce({vote}, 0) > 0 THEN {1 << b} ELSE 0 END")
+    total = " + ".join(bits)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, cast({total} AS bigint) AS simhash FROM t"""
+
+
+def jaccard_pairs_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tokset FROM documents),
+sizes AS (SELECT doc_id, len(tokset) AS n FROM toks),
+posting AS (SELECT doc_id, unnest(tokset) AS tok FROM toks),
+inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS n_inter
+  FROM posting a JOIN posting b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.src, i.dst,
+       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.src
+JOIN sizes sb ON sb.doc_id = i.dst
+WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= {threshold}"""
+
+
+_NORM_DOT = """list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+            / greatest(sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                       * sqrt(list_sum(list_transform(b.v, x -> x * x))), 1e-12)"""
+
+ANN_TOPK = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v FROM v WHERE vec_id < 4),
+scored AS (
+  SELECT b.qid, a.vec_id,
+         {_NORM_DOT} AS score
+  FROM v a CROSS JOIN q b),
+r AS (
+  SELECT qid, vec_id, round(score, 4) AS score,
+         cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS bigint) AS rn
+  FROM scored)
+SELECT qid, vec_id, score, rn FROM r WHERE rn <= 5"""
+
+ANN_BRUTEFORCE_SINGLE = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+q AS (SELECT v FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT a.vec_id,
+         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * q.v[i]))
+           / greatest(sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.v, x -> x * x))), 1e-12) AS score
+  FROM v a CROSS JOIN q)
+SELECT vec_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, vec_id LIMIT 10"""
+
+MMR_EMBEDDINGS = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+           FROM embeddings WHERE vec_id < 15),
+q AS (SELECT v FROM v WHERE vec_id = 0),
+qsim AS (
+  SELECT a.vec_id,
+         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * q.v[i])) AS qs
+  FROM v a CROSS JOIN q),
+pmax AS (
+  SELECT a.vec_id,
+         max(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))) AS mo
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+  GROUP BY a.vec_id)
+SELECT q1.vec_id, round(0.5 * q1.qs + (0.5 - 1) * coalesce(p.mo, 0), 4) AS score
+FROM qsim q1 LEFT JOIN pmax p ON p.vec_id = q1.vec_id"""

@@ -1,0 +1,134 @@
+"""End-to-end batch pipeline — the Spark job DAG equivalent of
+`Graphiti.add_episode_bulk` (graphiti.py:554-831; SURVEY §3.2).
+
+Stages (each checkpointable + lineage-recorded when materializing):
+  1 episodes     transcripts → episodes (windowed context available)
+  2 extract      mentions (E1) + triples (E3) via Arrow-batched UDFs
+  3 dedupe       blocking → verdict pairs → connected components →
+                 uuid_map (J4/J5/J8 + G1)
+  4 nodes        canonical entity nodes (+ hash embeddings)
+  5 edges        pointer rewrite (P4) → dedupe → bi-temporal
+                 invalidation (J6/J7, T1-T3)
+  6 mentions     episodic MENTIONS edges (P1), canonical targets
+  7 materialize  merge-parquet all tables + episode entity_edges
+                 back-refs (graphiti.py:517)
+
+The whole DAG shuffles on group-scoped keys only; the extraction
+stage is embarrassingly parallel. At 10^12-turn scale the knobs are
+partition count (`spark.sql.shuffle.partitions`), AQE skew-join for
+hot conversations, and bucketed materialization (materialize.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphiti_spark import ids
+from graphiti_spark.operators import dedupe as dd
+from graphiti_spark.operators import edge_resolution as er
+from graphiti_spark.operators import episodes as ep_ops
+from graphiti_spark.operators import extraction as ex
+from graphiti_spark.plans import materialize as mat
+
+RUN_TS = "2025-06-01 00:00:00"  # fixed transaction time → deterministic output
+
+
+def build_graph(
+    transcripts: DataFrame,
+    run_ts: str = RUN_TS,
+    with_embeddings: bool = True,
+) -> dict[str, DataFrame]:
+    """Pure dataflow (no writes): transcripts → all graph tables."""
+    episodes = ep_ops.build_episodes(transcripts, created_at=run_ts)
+
+    mentions_raw = ex.mentions_with_entity_uuid(ex.extract_mentions(episodes))
+    triples_raw = ex.triples_with_uuids(ex.extract_triples(episodes))
+
+    entities, uuid_map = dd.resolve_nodes(mentions_raw)
+    nodes = dd.canonical_nodes(entities, uuid_map, run_ts, with_embeddings=with_embeddings)
+
+    triples = er.resolve_edge_pointers(triples_raw, uuid_map)
+    edges = er.resolve_edges(triples, run_ts, with_embeddings=with_embeddings)
+
+    mention_map = F.broadcast(uuid_map.select(F.col("raw_uuid").alias("entity_uuid"), "canonical_uuid"))
+    mentions = (
+        mentions_raw.join(mention_map, "entity_uuid", "left")
+        .withColumn("entity_canon", F.coalesce("canonical_uuid", "entity_uuid"))
+        .select(
+            ids._md5_concat(
+                F.lit("mn"), F.col("group_id"), F.col("episode_uuid"), F.col("entity_canon")
+            ).alias("uuid"),
+            F.col("episode_uuid").alias("source_node_uuid"),
+            F.col("entity_canon").alias("target_node_uuid"),
+            "group_id",
+            F.lit(run_ts).cast("timestamp").alias("created_at"),
+        )
+        .dropDuplicates(["uuid"])
+    )
+
+    # episode.entity_edges back-references (graphiti.py:517)
+    ep_edges = (
+        edges.select(F.explode("episodes").alias("uuid_ep"), F.col("uuid").alias("edge_id"))
+        .groupBy("uuid_ep")
+        .agg(F.sort_array(F.collect_set("edge_id")).alias("entity_edges"))
+    )
+    episodes_final = (
+        episodes.drop("entity_edges")
+        .join(ep_edges, episodes.uuid == ep_edges.uuid_ep, "left")
+        .drop("uuid_ep")
+        .withColumn("entity_edges", F.coalesce("entity_edges", F.array().cast("array<string>")))
+        .drop("turn_idx")
+    )
+
+    return {
+        "episodes": episodes_final,
+        "nodes": nodes,
+        "edges": edges,
+        "mentions": mentions,
+        "uuid_map": uuid_map,
+    }
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    run_id: str = "run1",
+    run_ts: str = RUN_TS,
+    with_embeddings: bool = True,
+    resume: bool = True,
+) -> dict[str, int]:
+    """Materializing run with per-stage lineage + resumability.
+
+    A stage (table) already merged for this run_id is skipped when
+    `resume` — the sentinel is `<out>/_stage_<name>_<run_id>` (the
+    reference's analog is per-row MERGE idempotence; ours is
+    per-stage, SURVEY §4.4)."""
+    os.makedirs(out_dir, exist_ok=True)
+    lineage = f"{out_dir}/lineage.parquet"
+    tables = build_graph(transcripts, run_ts=run_ts, with_embeddings=with_embeddings)
+    counts: dict[str, int] = {}
+    timer = mat.StageTimer()
+    for name in ["episodes", "nodes", "edges", "mentions", "uuid_map"]:
+        sentinel = f"{out_dir}/_stage_{name}_{run_id}"
+        if resume and os.path.exists(sentinel):
+            counts[name] = -1  # skipped (already materialized)
+            continue
+        df = tables[name]
+        key = "raw_uuid" if name == "uuid_map" else "uuid"
+        df = df.localCheckpoint()  # cut lineage; stage boundary
+        mat.merge_parquet(spark, df, f"{out_dir}/{name}.parquet", key=key)
+        counts[name] = mat.record_lineage(
+            spark,
+            lineage,
+            run_id,
+            name,
+            spark.read.parquet(f"{out_dir}/{name}.parquet"),
+            timer.lap(),
+            triple_col="name" if name == "edges" else None,
+        )
+        open(sentinel, "w").close()
+    return counts

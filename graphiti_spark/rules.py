@@ -197,9 +197,9 @@ def extract_mentions_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 # DuckDB oracle SQL generation — mirrors the rules above exactly.
 # ---------------------------------------------------------------------------
 
-def triples_oracle_sql(episodes_cte: str) -> str:
-    """UNION ALL of one regexp_extract SELECT per triple rule, over a CTE
-    named `eps(uuid, group_id, text, valid_at)`."""
+def triples_select_sql() -> str:
+    """UNION ALL of one regexp_extract SELECT per triple rule; expects a
+    relation `eps(uuid, group_id, text, valid_at)` in scope."""
     parts = []
     for rule in TRIPLE_RULES:
         pat = rule.pattern.replace("'", "''")
@@ -220,13 +220,16 @@ def triples_oracle_sql(episodes_cte: str) -> str:
       WHERE regexp_matches(text, '{pat}')
     ) WHERE lower(s) <> lower(o)"""
         )
-    body = "\n    UNION ALL".join(parts)
-    return f"WITH {episodes_cte}\n{body}"
+    return "\n    UNION ALL".join(parts)
 
 
-def mentions_oracle_sql(episodes_cte: str) -> str:
+def triples_oracle_sql(episodes_cte: str) -> str:
+    return f"WITH {episodes_cte}\n{triples_select_sql()}"
+
+
+def mentions_select_sql() -> str:
     """Speaker + every captured name, deduped per (episode, entity) with
-    earliest mention_order, over CTE `eps(uuid, group_id, role, text)`."""
+    earliest mention_order; expects `eps(uuid, group_id, role, text)`."""
     parts = [
         """
     SELECT uuid AS episode_uuid, group_id, role AS entity_name, 0 AS mention_order
@@ -243,9 +246,11 @@ def mentions_oracle_sql(episodes_cte: str) -> str:
     FROM eps WHERE regexp_matches(text, '{pat}')"""
             )
     body = "\n    UNION ALL".join(parts)
-    return f"""WITH {episodes_cte},
-  raw AS ({body})
-  SELECT episode_uuid, group_id, entity_name,
-         cast(min(mention_order) as int) AS mention_order
-  FROM raw WHERE coalesce(entity_name, '') <> ''
+    return f"""SELECT episode_uuid, group_id, entity_name,
+         cast(min(mention_order) as bigint) AS mention_order
+  FROM ({body}) raw WHERE coalesce(entity_name, '') <> ''
   GROUP BY episode_uuid, group_id, entity_name"""
+
+
+def mentions_oracle_sql(episodes_cte: str) -> str:
+    return f"WITH {episodes_cte}\n{mentions_select_sql()}"

@@ -1,0 +1,71 @@
+"""Structured Streaming ingestion wrapper (SURVEY §2.13).
+
+The reference has no streaming subsystem — incrementality is "call
+add_episode in a loop" (graphiti.py:412-415). The Spark-native
+incremental path streams transcript turns and runs the SAME batch
+pipeline per micro-batch via foreachBatch, merging into the graph
+tables idempotently (content-derived uuids make replays safe, so
+exactly-once falls out of at-least-once + idempotent merge).
+
+A watermark on `ts` bounds state for the windowed per-conversation
+context; late turns within the watermark still land in their
+conversation's group via the merge keying.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphiti_spark.plans import pipeline as pl
+from graphiti_spark.plans import materialize as mat
+from graphiti_spark.schemas import TRANSCRIPTS
+
+
+def stream_transcripts_from_dir(
+    spark: SparkSession, input_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """File-source stream of transcript parquet drops (stand-in for a
+    Kafka topic of turns; same schema either way)."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+
+
+def start_incremental_pipeline(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_ts: str = pl.RUN_TS,
+    with_embeddings: bool = False,
+):
+    """writeStream.foreachBatch(batch KG pipeline → idempotent merges).
+
+    Each micro-batch is a mini add_episode_bulk; merge_parquet keyed on
+    content-derived uuids makes re-delivered batches no-ops."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tables = pl.build_graph(batch_df, run_ts=run_ts, with_embeddings=with_embeddings)
+        for name in ("episodes", "nodes", "edges", "mentions"):
+            key = "uuid"
+            mat.merge_parquet(spark, tables[name].localCheckpoint(), f"{out_dir}/{name}.parquet", key=key)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_turn_counts(stream: DataFrame, window: str = "5 minutes", slide: str | None = None) -> DataFrame:
+    """Streaming windowed aggregation example over the turn stream
+    (watermark + window → late-data-tolerant counts per conversation)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return stream.groupBy(w, "conv_id").agg(F.count(F.lit(1)).alias("n_turns"))

@@ -1,0 +1,160 @@
+"""Canonicalization, bi-temporal invalidation, full pipeline."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from graphiti_spark import transcripts as tr
+from graphiti_spark.operators import connected_components as cc
+from graphiti_spark.operators import dedupe as dd
+from graphiti_spark.operators import episodes as ep_ops
+from graphiti_spark.operators import extraction as ex
+from graphiti_spark.plans import pipeline as pl
+
+TS = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _tdf(spark, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "ts"]
+    )
+    pdf["tool"] = ""
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]], schema=TS)
+
+
+def test_connected_components_min_label(spark):
+    pairs = spark.createDataFrame(
+        [("b", "c", "g"), ("a", "b", "g"), ("x", "y", "g"), ("q", "q", "g")],
+        "src string, dst string, group_id string",
+    )
+    got = cc.uuid_map_from_pairs(pairs).toPandas().set_index("raw_uuid")["canonical_uuid"].to_dict()
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_alias_dedupe(spark):
+    t = _tdf(
+        spark,
+        [
+            ("c1", 0, "user", "Alice works at Acme.", "2025-01-01 00:00:00"),
+            ("c1", 1, "user", "Alice Smith moved to Paris.", "2025-01-01 00:01:00"),
+            ("c2", 0, "user", "Alice dislikes Bob.", "2025-01-01 00:00:00"),
+        ],
+    )
+    eps = ep_ops.build_episodes(t)
+    mentions = ex.mentions_with_entity_uuid(ex.extract_mentions(eps))
+    entities, uuid_map = dd.resolve_nodes(mentions)
+    m = uuid_map.toPandas()
+    # Alice ≡ Alice Smith within c1 only; groups never cross
+    assert set(m["group_id"]) == {"c1"}
+    nodes = dd.canonical_nodes(entities, uuid_map, "2025-06-01 00:00:00", with_embeddings=False).toPandas()
+    c1_names = sorted(nodes[nodes.group_id == "c1"]["name"])
+    assert "Alice" in c1_names and "Alice Smith" not in c1_names
+    merged = nodes[(nodes.group_id == "c1") & (nodes.name == "Alice")]
+    assert merged.iloc[0]["summary"] == "Alice; Alice Smith"
+
+
+def test_bitemporal_invalidation_truth_table(spark):
+    """FIXTURES.md §4 — deterministic analog of edge_operations.py:345-375."""
+    t = _tdf(
+        spark,
+        [
+            # assertion then termination → invalid_at set to termination time
+            ("c1", 0, "user", "Bob works at Acme.", "2025-01-01 00:00:00"),
+            ("c1", 1, "user", "Bob no longer works at Acme.", "2025-02-01 00:00:00"),
+            # termination BEFORE assertion (disjoint) → untouched
+            ("c2", 0, "user", "Bob no longer works at Acme.", "2025-01-01 00:00:00"),
+            ("c2", 1, "user", "Bob works at Acme.", "2025-02-01 00:00:00"),
+            # likes → dislikes contradiction chain
+            ("c3", 0, "user", "Alice likes Bob.", "2025-01-01 00:00:00"),
+            ("c3", 1, "user", "Alice dislikes Bob.", "2025-03-01 00:00:00"),
+            # unrelated fact contradicts nothing
+            ("c4", 0, "user", "Carol works at Acme.", "2025-01-01 00:00:00"),
+            ("c4", 1, "user", "Dave no longer works at Acme.", "2025-02-01 00:00:00"),
+        ],
+    )
+    tables = pl.build_graph(t, with_embeddings=False)
+    e = tables["edges"].toPandas()
+    by = lambda g, p: e[(e.group_id == g) & (e.name == p) & e.valid_at.notna()].iloc[0]
+
+    r1 = by("c1", "WORKS_AT")
+    assert str(r1["invalid_at"]) == "2025-02-01 00:00:00"
+    assert pd.notna(r1["expired_at"])  # T3
+
+    r2 = by("c2", "WORKS_AT")
+    assert pd.isna(r2["invalid_at"])  # disjoint: termination predates assertion
+
+    likes = e[(e.group_id == "c3") & (e.name == "LIKES")].iloc[0]
+    dislikes = e[(e.group_id == "c3") & (e.name == "DISLIKES")].iloc[0]
+    assert str(likes["invalid_at"]) == "2025-03-01 00:00:00"
+    assert pd.isna(dislikes["invalid_at"])  # newest info stays current
+
+    r4 = e[(e.group_id == "c4") & (e.name == "WORKS_AT") & e.valid_at.notna()].iloc[0]
+    assert pd.isna(r4["invalid_at"])  # Carol ≠ Dave: no contradiction
+
+
+def test_edge_dedupe_provenance(spark):
+    t = _tdf(
+        spark,
+        [
+            ("c1", 0, "user", "Alice works at Acme.", "2025-01-01 00:00:00"),
+            ("c1", 1, "assistant", "Alice works at Acme.", "2025-01-02 00:00:00"),
+        ],
+    )
+    tables = pl.build_graph(t, with_embeddings=False)
+    e = tables["edges"].toPandas()
+    assert len(e) == 1
+    assert len(e.iloc[0]["episodes"]) == 2  # provenance union (edge_operations.py:428-436)
+    assert str(e.iloc[0]["valid_at"]) == "2025-01-01 00:00:00"  # earliest wins
+
+
+def test_full_pipeline_materialize_and_resume(spark, tmp_path):
+    t = tr.synthesize_transcripts(spark, n_convs=12, turns_per_conv=8)
+    out = str(tmp_path / "graph")
+    counts = pl.run_pipeline(spark, t, out, run_id="r1", with_embeddings=False)
+    assert counts["episodes"] == 96
+    assert counts["edges"] > 0 and counts["nodes"] > 0 and counts["mentions"] > 0
+
+    # resume: same run_id skips every stage
+    counts2 = pl.run_pipeline(spark, t, out, run_id="r1", with_embeddings=False)
+    assert all(v == -1 for v in counts2.values())
+
+    # idempotence: a new run over the same input merges to identical tables
+    counts3 = pl.run_pipeline(spark, t, out, run_id="r2", with_embeddings=False)
+    assert counts3["episodes"] == counts["episodes"]
+    assert counts3["edges"] == counts["edges"]
+
+    lineage = spark.read.parquet(f"{out}/lineage.parquet").toPandas()
+    assert set(lineage["stage"]) == {"episodes", "nodes", "edges", "mentions", "uuid_map"}
+    assert (lineage["row_count"] > 0).any()
+
+
+def test_triple_pr_vs_oracle(spark):
+    """North-rule gate: P/R ≥ 0.95 on (subj, pred, obj) vs the rule oracle.
+    Subject surface forms canonicalize (alias → canonical name), so
+    compare on canonicalized names from the nodes table."""
+    pdf = tr.synthesize_transcripts_pdf(n_convs=40, turns_per_conv=10)
+    t = spark.createDataFrame(pdf, schema=TS)
+    tables = pl.build_graph(t, with_embeddings=False)
+    e = tables["edges"].toPandas()
+    n = tables["nodes"].toPandas().set_index("uuid")["name"].to_dict()
+
+    got = []
+    for r in e.itertuples():
+        for _ in r.episodes:  # multiset: one triple per provenance episode
+            got.append((r.group_id, n[r.source_node_uuid].split()[0], r.name, n[r.target_node_uuid].split()[0]))
+
+    exp_pdf = tr.ground_truth_triples_pdf(pdf)
+    exp = [
+        (r.group_id, r.subj_name.split()[0], r.pred, r.obj_name.split()[0])
+        for r in exp_pdf.itertuples()
+    ]
+    from collections import Counter
+
+    got_c, exp_c = Counter(got), Counter(exp)
+    tp = sum((got_c & exp_c).values())
+    precision = tp / sum(got_c.values())
+    recall = tp / sum(exp_c.values())
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
