@@ -21,14 +21,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Below this many duplicate pairs the component graph fits comfortably on
+# the driver and a single union-find pass beats the iterative join loop's
+# per-round job overhead (the reference is always driver-side:
+# bulk_utils.py:377-414). Above it, the distributed min-label loop runs.
+DRIVER_CC_MAX_PAIRS = 2_000_000
+
+
+def _driver_union_find(pairs_rows) -> list[tuple[str, str]]:
+    """Union-find with path compression; canonical = lexicographic min."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs_rows:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by canonical-min so the root IS the component id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    driver_max_pairs: int = DRIVER_CC_MAX_PAIRS,
 ) -> DataFrame:
     """pairs(src, dst) undirected → (node, component) with component =
-    lexicographically smallest node id in the component."""
+    lexicographically smallest node id in the component.
+
+    Auto strategy: small pair sets collect to the driver for one exact
+    union-find pass; large ones run the iterative min-label loop."""
+    spark = pairs.sparkSession
+    # single action: fetch up to the driver cap + 1; only past the cap do
+    # we pay for the distributed loop (which recomputes pairs once more)
+    probe = pairs.select(src, dst).distinct().limit(driver_max_pairs + 1).collect()
+    if len(probe) <= driver_max_pairs:
+        out = _driver_union_find([(r[0], r[1]) for r in probe])
+        if not out:
+            return spark.createDataFrame([], "node string, component string")
+        return spark.createDataFrame(out, "node string, component string")
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -51,40 +51,46 @@ def minhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 8,
+    band_width: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Banded LSH (band width 1): candidate pair iff any signature
-    component collides; estimated Jaccard = matching components / n.
+    """Banded MinHash-LSH: candidate pair iff all `band_width` components
+    of some band collide (P[band collision] = J^band_width — wider bands
+    cut the candidate explosion on high-overlap corpora); estimated
+    Jaccard = matching components / n over the full signatures, carried
+    through the single band join (no second signature join).
     Returns (src, dst, est_jaccard) with src < dst."""
+    assert n_hashes % band_width == 0
+    n_bands = n_hashes // band_width
     sig = minhash_signature(df, text_col, n_hashes).select(
-        F.col(id_col).alias("id"), *[f"mh{j}" for j in range(n_hashes)]
+        F.col(id_col).alias("id"),
+        F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("sig"),
     )
-    bands = sig.select(
-        "id",
-        F.explode(F.array(*[F.struct(F.lit(j).alias("band"), F.col(f"mh{j}").alias("h")) for j in range(n_hashes)])).alias("bh"),
-    ).select("id", "bh.band", "bh.h")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig")[i * band_width + r] for r in range(band_width)]
+                )
+            )
+            for i in range(n_bands)
+        ]
+    )
+    bands = sig.select("id", "sig", F.posexplode(band_keys).alias("band", "h"))
+    a, b = bands.alias("a"), bands.alias("b")
+    est = F.size(
+        F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda m: m)
+    ) / float(n_hashes)
+    return (
+        a.join(
+            b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .distinct()
-    )
-    sa = sig.select(F.col("id").alias("src"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n_hashes)])
-    sb = sig.select(F.col("id").alias("dst"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n_hashes)])
-    est = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(n_hashes)
-    ) / float(n_hashes)
-    return (
-        cand.join(sa, "src")
-        .join(sb, "dst")
-        .withColumn("est_jaccard", est)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"), est.alias("est_jaccard"))
+        .dropDuplicates(["src", "dst"])
         .filter(F.col("est_jaccard") >= threshold)
-        .select("src", "dst", "est_jaccard")
     )
 
 
@@ -92,20 +98,27 @@ def simhash(df: DataFrame, text_col: str = "text", n_bits: int = 16) -> DataFram
     """SimHash fingerprint: bit b = majority vote over tokens of the
     parity of hex digit b of md5(token). Returns input + `simhash` long.
     Engine-portable: only md5 / substring / strpos arithmetic."""
-    out = df.withColumn("toks", tx.tokens(F.col(text_col)))
     hexd = "0123456789abcdef"
-
-    def make_vote(b: int):
-        def step(acc, t):
-            digit = F.instr(F.lit(hexd), F.substring(F.md5(t), b + 1, 1)) - 1
-            return acc + F.when(digit % 2 == 1, 1).otherwise(-1)
-
-        return F.aggregate(F.col("toks"), F.lit(0), step)
-
-    bit_votes = [
-        F.when(make_vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(n_bits)
+    toks = df.select(F.col("*"), F.explode_outer(tx.tokens(F.col(text_col))).alias("_tok"))
+    # md5 once per token; 16 cheap substring parities off the one hash
+    toks = toks.withColumn("_h", F.md5(F.col("_tok")))
+    votes = [
+        F.sum(
+            F.when(F.col("_tok").isNull(), 0)
+            .when((F.instr(F.lit(hexd), F.substring(F.col("_h"), b + 1, 1)) - 1) % 2 == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(n_bits)
     ]
-    return out.withColumn("simhash", sum(bit_votes).cast("long")).drop("toks")
+    other_cols = [c for c in df.columns]
+    grouped = toks.groupBy(*other_cols).agg(*votes)
+    simhash = sum(
+        F.when(F.coalesce(F.col(f"_v{b}"), F.lit(0)) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(n_bits)
+    )
+    return grouped.withColumn("simhash", simhash.cast("long")).drop(
+        *[f"_v{b}" for b in range(n_bits)]
+    )
 
 
 def simhash_pairs(

@@ -270,11 +270,19 @@ def _mh_cols(n: int) -> str:
     )
 
 
-def minhash_pairs_sql(n_hashes: int = 8, threshold: float = 0.5) -> str:
+def minhash_pairs_sql(n_hashes: int = 8, band_width: int = 4, threshold: float = 0.5) -> str:
     match_sum = " + ".join(
         f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(n_hashes)
     )
-    any_eq = " OR ".join(f"a.mh{j} = b.mh{j}" for j in range(n_hashes))
+    # banded LSH candidate rule: all band_width components of some band equal
+    any_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh{i * band_width + r} = b.mh{i * band_width + r}" for r in range(band_width)
+        )
+        + ")"
+        for i in range(n_hashes // band_width)
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),

