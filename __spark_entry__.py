@@ -22,7 +22,9 @@ from graphiti_spark.functions import embeddings as embf
 from graphiti_spark.operators import (
     communities as comm,
 )
+from graphiti_spark.operators import attributes as attr
 from graphiti_spark.operators import dataset_ann as ann
+from graphiti_spark.operators import edge_resolution as er
 from graphiti_spark.operators import dataset_dedup as ddp
 from graphiti_spark.operators import dataset_text as dtx
 from graphiti_spark.operators import dedupe as dd
@@ -100,6 +102,94 @@ def q_kg_retrieve_episodes(spark, sf_dir):
     return ep_ops.retrieve_episodes(
         _eps(spark, sf_dir), "2024-01-15 00:00:00", last_n=5
     ).select("uuid", "group_id", "valid_at")
+
+
+def q_kg_node_summaries(spark, sf_dir):
+    eps = _eps(spark, sf_dir)
+    mentions = ex.mentions_with_entity_uuid(ex.extract_mentions(eps))
+    return attr.node_summaries(mentions, eps)
+
+
+def q_kg_orphan_entities(spark, sf_dir):
+    mentions = ex.mentions_with_entity_uuid(ex.extract_mentions(_eps(spark, sf_dir)))
+    return attr.orphan_entities(mentions)
+
+
+def q_kg_nodes_page(spark, sf_dir):
+    return attr.get_by_cursor(q_kg_nodes(spark, sf_dir), "80", 20)
+
+
+def _eps_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ep_ops.build_episodes(tr.transcripts_from_events_aliased(spark, sf_dir))
+
+
+def q_kg_duplicate_of(spark, sf_dir):
+    mentions = ex.mentions_with_entity_uuid(ex.extract_mentions(_eps_alias(spark, sf_dir)))
+    ents = dd.distinct_entities(mentions)
+    return dd.duplicate_of_edges(ents, pl.RUN_TS).select(
+        "uuid", "source_node_uuid", "target_node_uuid", "group_id", "name", "fact"
+    )
+
+
+def q_kg_canonical_map(spark, sf_dir):
+    mentions = ex.mentions_with_entity_uuid(ex.extract_mentions(_eps_alias(spark, sf_dir)))
+    _, uuid_map = dd.resolve_nodes(mentions)
+    return uuid_map.select("raw_uuid", "canonical_uuid", "group_id")
+
+
+def q_kg_edge_candidates(spark, sf_dir):
+    triples = ex.triples_with_uuids(ex.extract_triples(_eps(spark, sf_dir)))
+    return er.relevant_edge_pairs(triples)
+
+
+def q_kg_bfs(spark, sf_dir):
+    tri = ex.extract_triples(_eps(spark, sf_dir))
+    edges = tri.select(
+        F.concat_ws("|", "group_id", "subj_name").alias("source_node_uuid"),
+        F.concat_ws("|", "group_id", "obj_name").alias("target_node_uuid"),
+    )
+    origins = (
+        tri.select(
+            "group_id", F.explode(F.array("subj_name", "obj_name")).alias("n")
+        )
+        .groupBy("group_id")
+        .agg(F.min("n").alias("n"))
+        .select(F.concat_ws("|", "group_id", "n").alias("uuid"))
+    )
+    visited = srch.bfs_neighborhood(edges, origins, max_depth=2)
+    return visited.select(
+        F.split_part(F.col("uuid"), F.lit("|"), F.lit(1)).alias("group_id"),
+        F.split_part(F.col("uuid"), F.lit("|"), F.lit(2)).alias("name"),
+        F.col("depth").cast("bigint").alias("depth"),
+    )
+
+
+def q_kg_node_distance(spark, sf_dir):
+    tri = ex.extract_triples(_eps(spark, sf_dir)).filter(F.col("group_id") == "conv-0")
+    mentions = ex.extract_mentions(_eps(spark, sf_dir)).filter(
+        F.col("group_id") == "conv-0"
+    )
+    cands = mentions.select(F.col("entity_name").alias("name")).distinct()
+    edges = tri.select(
+        F.col("subj_name").alias("source_node_uuid"),
+        F.col("obj_name").alias("target_node_uuid"),
+    )
+    center = (
+        tri.select(F.explode(F.array("subj_name", "obj_name")).alias("n"))
+        .agg(F.min("n"))
+        .first()[0]
+    )
+    return srch.node_distance_rerank(
+        cands, edges, center, id_col="name", far_score=1000000.0
+    )
+
+
+def q_kg_mentions_rerank(spark, sf_dir):
+    mentions = ex.mentions_with_entity_uuid(ex.extract_mentions(_eps(spark, sf_dir)))
+    cands = mentions.select(F.col("entity_uuid").alias("uuid")).distinct()
+    return srch.episode_mentions_rerank(
+        cands, mentions.withColumnRenamed("entity_uuid", "target_node_uuid")
+    )
 
 
 # rows-only KG ops (iterative / non-SQL-expressible)
@@ -283,6 +373,18 @@ def q_mmr_embeddings(spark, sf_dir):
     )
 
 
+def q_cross_encoder_documents(spark, sf_dir):
+    return srch.cross_encoder_rank(
+        _read(spark, sf_dir, "documents"), "text", "data join query spark", id_col="doc_id"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_embed_dup_pairs(spark, sf_dir):
+    return ddp.embedding_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35, exact=True
+    ).select("src", "dst", F.round("cos", 4).alias("cos"))
+
+
 # rows-only dataset ops
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -298,6 +400,17 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_simhash_pairs_documents(spark, sf_dir):
     return ddp.simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_embed_dup_pairs_lsh(spark, sf_dir):
+    return ddp.embedding_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35, exact=False
+    ).select("src", "dst", F.round("cos", 4).alias("cos"))
+
+
+def q_multimodal_frame_plan(spark, sf_dir):
+    media = mm.synth_media(spark, 64)
+    return mm.frame_sample_plan(media)
 
 
 # ---------------------------------------------------------------------------
@@ -318,6 +431,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_counts": q_kg_mention_counts,
         "kg_edges": q_kg_edges,
         "kg_retrieve_episodes": q_kg_retrieve_episodes,
+        "kg_node_summaries": q_kg_node_summaries,
+        "kg_orphan_entities": q_kg_orphan_entities,
+        "kg_nodes_page": q_kg_nodes_page,
+        "kg_duplicate_of": q_kg_duplicate_of,
+        "kg_canonical_map": q_kg_canonical_map,
+        "kg_edge_candidates": q_kg_edge_candidates,
+        "kg_bfs": q_kg_bfs,
+        "kg_node_distance": q_kg_node_distance,
+        "kg_mentions_rerank": q_kg_mentions_rerank,
         "kg_uuid_map_alias": q_kg_uuid_map_alias,
         "kg_communities": q_kg_communities,
         "kg_search_hybrid": q_kg_search_hybrid,
@@ -339,9 +461,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_bruteforce_single": q_ann_bruteforce_single,
         "mmr_embeddings": q_mmr_embeddings,
+        "cross_encoder_documents": q_cross_encoder_documents,
+        "embed_dup_pairs": q_embed_dup_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
         "simhash_pairs_documents": q_simhash_pairs_documents,
+        "embed_dup_pairs_lsh": q_embed_dup_pairs_lsh,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
     }
 
 
@@ -355,6 +481,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_counts": oracle.KG_MENTION_COUNTS,
         "kg_edges": oracle.KG_EDGES,
         "kg_retrieve_episodes": oracle.KG_RETRIEVE_EPISODES,
+        "kg_node_summaries": oracle.KG_NODE_SUMMARIES,
+        "kg_orphan_entities": oracle.KG_ORPHAN_ENTITIES,
+        "kg_nodes_page": oracle.KG_NODES_PAGE,
+        "kg_duplicate_of": oracle.KG_DUPLICATE_OF,
+        "kg_canonical_map": oracle.KG_CANONICAL_MAP,
+        "kg_edge_candidates": oracle.KG_EDGE_CANDIDATE_PAIRS,
+        "kg_bfs": oracle.KG_BFS,
+        "kg_node_distance": oracle.KG_NODE_DISTANCE,
+        "kg_mentions_rerank": oracle.KG_MENTIONS_RERANK,
         "topk_events_per_user": oracle.TOPK_EVENTS_PER_USER,
         "window_running_value": oracle.WINDOW_RUNNING_VALUE,
         "agg_lineitem_pricing": oracle.AGG_LINEITEM_PRICING,
@@ -373,4 +508,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracle.ANN_TOPK,
         "ann_bruteforce_single": oracle.ANN_BRUTEFORCE_SINGLE,
         "mmr_embeddings": oracle.MMR_EMBEDDINGS,
+        "cross_encoder_documents": oracle.CROSS_ENCODER_DOCUMENTS,
+        "embed_dup_pairs": oracle.EMBED_DUP_PAIRS,
     }

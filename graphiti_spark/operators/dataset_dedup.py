@@ -153,6 +153,48 @@ def simhash_pairs(
     )
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    exact: bool = True,
+    n_band_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (src, dst, cos) with src < dst,
+    cos ≥ threshold, over an array<float> column.
+
+    `exact=True` is the brute-force baseline (self-join on nothing but
+    id ordering — correct, quadratic; use on bounded candidate sets).
+    `exact=False` is the scale path: block on a random-hyperplane sign
+    band (SimHash-for-vectors) so only same-band pairs are scored —
+    high-cosine pairs collide with high probability and the pair space
+    drops from O(n²) to O(Σ bucket²)."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    if not exact:
+        from graphiti_spark.functions import embeddings as emb
+
+        v = v.withColumn("band", emb.sim_bands(F.col("v"), n_bits=n_band_bits))
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if not exact:
+        cond = cond & (F.col("a.band") == F.col("b.band"))
+    cos = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.greatest(F.col("a.norm") * F.col("b.norm"), F.lit(1e-12))
+    return (
+        a.join(b, cond)
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"), "cos")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

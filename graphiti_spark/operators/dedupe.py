@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphiti_spark import ids
 from graphiti_spark.functions import embeddings as emb
 from graphiti_spark.functions import text as tx
 from graphiti_spark.operators.connected_components import uuid_map_from_pairs
@@ -95,14 +96,53 @@ def candidate_pairs(
     return pairs
 
 
-def duplicate_pairs(pairs: DataFrame) -> DataFrame:
-    """J5 deterministic verdict over blocked pairs."""
+def _verdict(pairs: DataFrame) -> DataFrame:
+    """J5 deterministic verdict over blocked pairs (keeps names)."""
     exact = F.lower(F.col("src_name")) == F.lower(F.col("dst_name"))
     first_tok_eq = F.element_at("src_toks", 1) == F.element_at("dst_toks", 1)
     subset = (F.size(F.array_except("src_toks", "dst_toks")) == 0) | (
         F.size(F.array_except("dst_toks", "src_toks")) == 0
     )
-    return pairs.filter(exact | (first_tok_eq & subset)).select("group_id", "src", "dst")
+    return pairs.filter(exact | (first_tok_eq & subset))
+
+
+def duplicate_pairs(pairs: DataFrame) -> DataFrame:
+    """J5 deterministic verdict over blocked pairs."""
+    return _verdict(pairs).select("group_id", "src", "dst")
+
+
+def duplicate_of_edges(
+    entities: DataFrame, run_ts: str, existing: DataFrame | None = None
+) -> DataFrame:
+    """P2 + P5: IS_DUPLICATE_OF edges between duplicate pairs.
+
+    Reference build_duplicate_of_edges (edge_operations.py:66-89):
+    filter self-pairs, name = 'IS_DUPLICATE_OF', fact =
+    '<src> is a duplicate of <dst>'. P5
+    (filter_existing_duplicate_of_edges, edge_operations.py:499-526):
+    left-anti join on (source, target) drops pairs already edged.
+    Deterministic uuid keyed on the pair makes the merge idempotent."""
+    dups = _verdict(candidate_pairs(entities)).filter(F.col("src") != F.col("dst"))
+    edges = dups.select(
+        ids._md5_concat(F.lit("dup"), F.col("group_id"), F.col("src"), F.col("dst")).alias(
+            "uuid"
+        ),
+        F.col("src").alias("source_node_uuid"),
+        F.col("dst").alias("target_node_uuid"),
+        "group_id",
+        F.lit("IS_DUPLICATE_OF").alias("name"),
+        F.concat(F.col("src_name"), F.lit(" is a duplicate of "), F.col("dst_name")).alias(
+            "fact"
+        ),
+        F.lit(run_ts).cast("timestamp").alias("created_at"),
+    )
+    if existing is not None:
+        edges = edges.join(
+            existing.select("source_node_uuid", "target_node_uuid"),
+            ["source_node_uuid", "target_node_uuid"],
+            "left_anti",
+        )
+    return edges
 
 
 def resolve_nodes(mentions_with_uuid: DataFrame) -> tuple[DataFrame, DataFrame]:

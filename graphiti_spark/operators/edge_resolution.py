@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from graphiti_spark import rules
 from graphiti_spark.functions import embeddings as emb
+from graphiti_spark.functions import text as tx
 
 
 def resolve_edge_pointers(triples: DataFrame, uuid_map: DataFrame) -> DataFrame:
@@ -53,6 +54,49 @@ def resolve_edge_pointers(triples: DataFrame, uuid_map: DataFrame) -> DataFrame:
         t.join(m.withColumnRenamed("raw_uuid", "obj_uuid"), "obj_uuid", "left")
         .withColumn("obj_uuid", F.coalesce("canonical_uuid", "obj_uuid"))
         .drop("canonical_uuid")
+    )
+
+
+def relevant_edge_pairs(triples: DataFrame) -> DataFrame:
+    """J2/J4-edge candidate generation: pairs of extracted edges sharing
+    the same endpoints in either direction whose facts word-overlap.
+
+    Reference: get_relevant_edges constrains candidates to the same
+    undirected endpoint pair (search_utils.py:734-800 — "same endpoints
+    (either direction)"), and the bulk blocking rule accepts a pair on
+    fact word-overlap (bulk_utils.py:297,313-337; the cosine≥0.6
+    alternative is the embedding block, dedupe.candidate_pairs-style).
+
+    The equi-join key (group_id, least(subj,obj), greatest(subj,obj))
+    bounds the pair space before any similarity math — this is the
+    reference's own join pruning, and at scale it is one shuffle on a
+    composite key that AQE skew-splits for hot entity pairs.
+    Returns (group_id, src, dst, overlap) with src < dst (edge uuids).
+    """
+    e = triples.select(
+        "group_id",
+        F.col("edge_uuid").alias("uuid"),
+        F.least("subj_uuid", "obj_uuid").alias("e1"),
+        F.greatest("subj_uuid", "obj_uuid").alias("e2"),
+        tx.tokens(F.col("fact")).alias("toks"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.group_id") == F.col("b.group_id"))
+            & (F.col("a.e1") == F.col("b.e1"))
+            & (F.col("a.e2") == F.col("b.e2"))
+            & (F.col("a.uuid") < F.col("b.uuid")),
+        )
+        .withColumn("overlap", F.size(F.array_intersect("a.toks", "b.toks")))
+        .filter(F.col("overlap") > 0)
+        .select(
+            F.col("a.group_id").alias("group_id"),
+            F.col("a.uuid").alias("src"),
+            F.col("b.uuid").alias("dst"),
+            F.col("overlap").cast("bigint").alias("overlap"),
+        )
     )
 
 

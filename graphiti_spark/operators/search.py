@@ -227,8 +227,39 @@ def mmr_rerank(
     )
 
 
+def cross_encoder_rank(
+    df: DataFrame,
+    text_col: str,
+    query: str,
+    id_col: str = "uuid",
+    limit: int | None = None,
+) -> DataFrame:
+    """R3: deterministic cross-encoder stand-in. The reference scores
+    each (query, passage) with a boolean-relevance classifier and uses
+    P(True) as the score (cross_encoder/openai_reranker_client.py:
+    61-118); the pluggable deterministic analog is lexical overlap:
+    score = |query_toks ∩ passage_toks| / |query_toks| ∈ [0, 1].
+    Pure column expressions — swaps for a model-backed pandas UDF
+    without changing the dataflow (CrossEncoderClient contract,
+    cross_encoder/client.py)."""
+    q_toks = [t for t in dict.fromkeys(query.lower().split()) if t]
+    q_arr = F.array(*[F.lit(t) for t in q_toks])
+    out = df.select(
+        id_col,
+        (
+            F.size(F.array_intersect(tx.tokens(F.col(text_col)), q_arr))
+            / float(max(len(q_toks), 1))
+        ).alias("score"),
+    ).orderBy(F.desc("score"), F.asc(id_col))
+    return out.limit(limit) if limit else out
+
+
 def node_distance_rerank(
-    candidates: DataFrame, edges: DataFrame, center_uuid: str, id_col: str = "uuid"
+    candidates: DataFrame,
+    edges: DataFrame,
+    center_uuid: str,
+    id_col: str = "uuid",
+    far_score: float = float("inf"),
 ) -> DataFrame:
     """R4/G8: 1-hop adjacency to center → score 1, else ∞ (here a large
     sentinel); center itself 0.1; ascending (search_utils.py:891-934)."""
@@ -250,7 +281,7 @@ def node_distance_rerank(
             "score",
             F.when(F.col(id_col) == center_uuid, 0.1)
             .when(F.col("adjacent") == 1, 1.0)
-            .otherwise(float("inf")),
+            .otherwise(far_score),
         )
         .select(id_col, "score")
         .orderBy(F.asc("score"), F.asc(id_col))

@@ -19,9 +19,10 @@ Cross-engine dialect notes (validated):
 from __future__ import annotations
 
 from graphiti_spark import rules
-from graphiti_spark.transcripts import TRANSCRIPTS_SQL
+from graphiti_spark.transcripts import ALIASED_TRANSCRIPTS_SQL, TRANSCRIPTS_SQL
 
 CTE_TRANSCRIPTS = f"transcripts AS ({TRANSCRIPTS_SQL})"
+CTE_TRANSCRIPTS_ALIAS = f"transcripts AS ({ALIASED_TRANSCRIPTS_SQL})"
 
 CTE_EPS = """eps AS (
   SELECT md5(concat_ws('|', 'ep', conv_id, conv_id, cast(turn_idx AS string))) AS uuid,
@@ -39,6 +40,9 @@ def kg_base_ctes() -> str:
 
 def kg_triples_ctes() -> str:
     return f"{kg_base_ctes()},\n  tri AS ({rules.triples_select_sql()})"
+
+
+_MEN = rules.mentions_select_sql()
 
 
 KG_EPISODES = f"""WITH {CTE_TRANSCRIPTS},
@@ -118,6 +122,183 @@ SELECT min(md5(concat_ws('|', 'ed', group_id, episode_uuid, subj_name, pred, obj
        min(invalid_at) AS invalid_at,
        cast(count(DISTINCT episode_uuid) AS bigint) AS n_episodes
 FROM term GROUP BY group_id, subj_name, pred, obj_name"""
+
+# E5: deterministic node attribute/summary hydration — per raw entity,
+# chronological digest of mention contexts, 250-word budget
+# (node_operations.py:293-378; prompts/extract_nodes.py:250-309).
+KG_NODE_SUMMARIES = f"""WITH {CTE_TRANSCRIPTS},
+{CTE_EPS},
+  men AS ({_MEN}),
+  ctx AS (
+    SELECT m.group_id,
+           md5(concat_ws('|', 'en', m.group_id, lower(m.entity_name))) AS uuid,
+           m.entity_name AS name, e.content, e.valid_at, e.uuid AS episode_uuid
+    FROM men m JOIN eps e ON e.uuid = m.episode_uuid),
+  digest AS (
+    SELECT group_id, uuid, name,
+           (list(content ORDER BY valid_at, episode_uuid))[1:20] AS ctxs,
+           cast(count(*) AS bigint) AS n_contexts
+    FROM ctx GROUP BY 1, 2, 3)
+SELECT group_id, uuid, name,
+       array_to_string(
+         (list_filter(string_split(array_to_string(ctxs, ' '), ' '), w -> w <> ''))[1:250],
+         ' ') AS summary,
+       n_contexts
+FROM digest"""
+
+# S8/A4: orphan cascade candidates — entities mentioned by exactly one
+# episode (graphiti.py:1036-1042).
+KG_ORPHAN_ENTITIES = f"""WITH {CTE_TRANSCRIPTS},
+{CTE_EPS},
+  men AS ({_MEN})
+SELECT group_id,
+       md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS entity_uuid,
+       cast(count(DISTINCT episode_uuid) AS bigint) AS n_episodes
+FROM men GROUP BY 1, 2 HAVING count(DISTINCT episode_uuid) = 1"""
+
+# S9: cursor pagination — uuid < cursor ORDER BY uuid DESC LIMIT
+# (nodes.py:221-241).
+KG_NODES_PAGE = f"""WITH {CTE_TRANSCRIPTS},
+{CTE_EPS},
+  men AS ({_MEN}),
+  n AS (
+    SELECT DISTINCT md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+           entity_name AS name, group_id
+    FROM men)
+SELECT uuid, name, group_id FROM n
+WHERE uuid < '80' ORDER BY uuid DESC LIMIT 20"""
+
+# P2+P5: IS_DUPLICATE_OF edges from the deterministic dedupe verdict
+# (edge_operations.py:66-89; verdict contract prompts/dedupe_nodes.py:
+# 151-156 mirrored: lower-equal names, or first-token-equal + token
+# subset alias rule).
+KG_DUPLICATE_OF = f"""WITH {CTE_TRANSCRIPTS_ALIAS},
+{CTE_EPS},
+  men AS ({_MEN}),
+  ent AS (
+    SELECT DISTINCT group_id,
+           md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+           entity_name AS name,
+           list_distinct(list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                                     t -> t <> '')) AS toks,
+           (list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                        t -> t <> ''))[1] AS ftok
+    FROM men)
+SELECT md5(concat_ws('|', 'dup', a.group_id, a.uuid, b.uuid)) AS uuid,
+       a.uuid AS source_node_uuid, b.uuid AS target_node_uuid,
+       a.group_id,
+       'IS_DUPLICATE_OF' AS name,
+       concat(a.name, ' is a duplicate of ', b.name) AS fact
+FROM ent a JOIN ent b
+  ON a.group_id = b.group_id AND a.uuid < b.uuid
+WHERE lower(a.name) = lower(b.name)
+   OR (a.ftok = b.ftok
+       AND (list_has_all(a.toks, b.toks) OR list_has_all(b.toks, a.toks)))"""
+
+# G1: canonicalization uuid_map over the aliased corpus. The alias
+# vocabulary yields duplicate components of size exactly 2 (short name
+# ↔ full name), so component-min canonicalization is expressible as
+# least(self, min(direct partners)) — the Spark side runs the real
+# connected-components operator; this oracle is exact for the pair-
+# structured components the corpus produces (bulk_utils.py:392-396:
+# canonical = lexicographically smallest uuid in component).
+KG_CANONICAL_MAP = f"""WITH {CTE_TRANSCRIPTS_ALIAS},
+{CTE_EPS},
+  men AS ({_MEN}),
+  ent AS (
+    SELECT DISTINCT group_id,
+           md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+           entity_name AS name,
+           list_distinct(list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                                     t -> t <> '')) AS toks,
+           (list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                        t -> t <> ''))[1] AS ftok
+    FROM men),
+  dup AS (
+    SELECT a.group_id, a.uuid AS au, b.uuid AS bu
+    FROM ent a JOIN ent b
+      ON a.group_id = b.group_id AND a.uuid < b.uuid
+    WHERE lower(a.name) = lower(b.name)
+       OR (a.ftok = b.ftok
+           AND (list_has_all(a.toks, b.toks) OR list_has_all(b.toks, a.toks)))),
+  touched AS (
+    SELECT group_id, au AS raw, bu AS other FROM dup
+    UNION ALL
+    SELECT group_id, bu AS raw, au AS other FROM dup)
+SELECT raw AS raw_uuid,
+       least(raw, min(other)) AS canonical_uuid,
+       group_id
+FROM touched GROUP BY group_id, raw"""
+
+# J2/J4-edge: candidate edge pairs — same undirected endpoints + fact
+# word-overlap (search_utils.py:734-800; bulk_utils.py:297,313-337).
+KG_EDGE_CANDIDATE_PAIRS = f"""WITH {kg_triples_ctes()},
+  e AS (
+    SELECT group_id,
+           md5(concat_ws('|', 'ed', group_id, episode_uuid, subj_name, pred, obj_name)) AS uuid,
+           least(md5(concat_ws('|', 'en', group_id, lower(subj_name))),
+                 md5(concat_ws('|', 'en', group_id, lower(obj_name)))) AS e1,
+           greatest(md5(concat_ws('|', 'en', group_id, lower(subj_name))),
+                    md5(concat_ws('|', 'en', group_id, lower(obj_name)))) AS e2,
+           list_distinct(list_filter(string_split_regex(lower(trim(fact)), '\\s+'),
+                                     t -> t <> '')) AS toks
+    FROM tri)
+SELECT a.group_id, a.uuid AS src, b.uuid AS dst,
+       cast(len(list_intersect(a.toks, b.toks)) AS bigint) AS overlap
+FROM e a JOIN e b
+  ON a.group_id = b.group_id AND a.e1 = b.e1 AND a.e2 = b.e2 AND a.uuid < b.uuid
+WHERE len(list_intersect(a.toks, b.toks)) > 0"""
+
+# G7: BFS over RELATES_TO within depth 2, origin = lexicographically
+# smallest endpoint name per group (search_utils.py:252-296).
+KG_BFS = f"""WITH {kg_triples_ctes()},
+  adj AS (
+    SELECT DISTINCT group_id, subj_name AS a, obj_name AS b FROM tri
+    UNION
+    SELECT DISTINCT group_id, obj_name AS a, subj_name AS b FROM tri),
+  o AS (SELECT group_id, min(a) AS name FROM adj GROUP BY group_id),
+  d1 AS (
+    SELECT DISTINCT adj.group_id, adj.b AS name
+    FROM adj JOIN o ON adj.group_id = o.group_id AND adj.a = o.name),
+  d1n AS (
+    SELECT d1.group_id, d1.name FROM d1
+    WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.group_id = d1.group_id AND o.name = d1.name)),
+  d2 AS (
+    SELECT DISTINCT adj.group_id, adj.b AS name
+    FROM adj JOIN d1n ON adj.group_id = d1n.group_id AND adj.a = d1n.name),
+  d2n AS (
+    SELECT d2.group_id, d2.name FROM d2
+    WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.group_id = d2.group_id AND o.name = d2.name)
+      AND NOT EXISTS (SELECT 1 FROM d1n WHERE d1n.group_id = d2.group_id AND d1n.name = d2.name))
+SELECT group_id, name, cast(0 AS bigint) AS depth FROM o
+UNION ALL SELECT group_id, name, cast(1 AS bigint) FROM d1n
+UNION ALL SELECT group_id, name, cast(2 AS bigint) FROM d2n"""
+
+# G8/R4: node-distance rerank in group conv-0 — center 0.1, 1-hop 1.0,
+# else far sentinel (search_utils.py:891-934).
+KG_NODE_DISTANCE = f"""WITH {kg_triples_ctes()},
+  men AS ({_MEN}),
+  cand AS (SELECT DISTINCT entity_name AS name FROM men WHERE group_id = 'conv-0'),
+  adjc AS (
+    SELECT DISTINCT subj_name AS a, obj_name AS b FROM tri WHERE group_id = 'conv-0'
+    UNION
+    SELECT DISTINCT obj_name AS a, subj_name AS b FROM tri WHERE group_id = 'conv-0'),
+  ctr AS (SELECT min(a) AS c FROM adjc),
+  nbr AS (SELECT DISTINCT adjc.b AS name FROM adjc, ctr WHERE adjc.a = ctr.c)
+SELECT cand.name,
+       cast(CASE WHEN cand.name = (SELECT c FROM ctr) THEN 0.1
+                 WHEN EXISTS (SELECT 1 FROM nbr WHERE nbr.name = cand.name) THEN 1.0
+                 ELSE 1000000.0 END AS double) AS score
+FROM cand"""
+
+# A2/R5: episode-mentions rerank — candidates scored by MENTIONS count
+# (search_utils.py:937-963).
+KG_MENTIONS_RERANK = f"""WITH {CTE_TRANSCRIPTS},
+{CTE_EPS},
+  men AS ({_MEN})
+SELECT md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+       cast(count(*) AS double) AS score
+FROM men GROUP BY 1"""
 
 KG_RETRIEVE_EPISODES = f"""WITH {CTE_TRANSCRIPTS},
 {CTE_EPS},
@@ -357,6 +538,27 @@ scored AS (
   FROM v a CROSS JOIN q)
 SELECT vec_id, round(score, 4) AS score
 FROM scored ORDER BY score DESC, vec_id LIMIT 10"""
+
+# R3: deterministic cross-encoder analog — lexical overlap score
+# (cross_encoder/openai_reranker_client.py:61-118 is P(True) of a
+# boolean relevance classifier; the pluggable stand-in is
+# |query ∩ passage| / |query|).
+CROSS_ENCODER_DOCUMENTS = f"""
+SELECT doc_id,
+       round(len(list_intersect({_TOKS}, ['data', 'join', 'query', 'spark'])) / 4.0, 4) AS score
+FROM documents"""
+
+# Embedding-cosine near-dup pairs (brute-force baseline; the LSH
+# sign-band variant is the rows-only scale path).
+EMBED_DUP_PAIRS = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+           / greatest(a.nrm * b.nrm, 1e-12) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT src, dst, round(cos, 4) AS cos FROM p WHERE cos >= 0.35"""
 
 MMR_EMBEDDINGS = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v

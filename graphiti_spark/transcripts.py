@@ -51,19 +51,21 @@ _Q = _sql_pick("(user_id + 3) % 8", PEOPLE)
 _C = _sql_pick("event_id % 6", COMPANIES)
 _L = _sql_pick("event_id % 6", CITIES)
 
-# One statement, two engines. Templates line up 1:1 with rules.RULES.
-TRANSCRIPTS_SQL = f"""
+def _transcripts_sql(subject: str) -> str:
+    """The shared two-engine derivation, parameterized on the subject
+    surface-form expression. Templates line up 1:1 with rules.RULES."""
+    return f"""
 SELECT
   concat('conv-', cast(user_id AS string)) AS conv_id,
   cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
   CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
   CASE event_id % 8
-    WHEN 0 THEN concat({_P}, ' works at ', {_C}, '.')
-    WHEN 1 THEN concat({_P}, ' no longer works at ', {_C}, '.')
-    WHEN 2 THEN concat({_P}, ' moved to ', {_L}, '.')
-    WHEN 3 THEN concat({_P}, ' likes ', {_Q}, '.')
-    WHEN 4 THEN concat({_P}, ' dislikes ', {_Q}, '.')
-    WHEN 5 THEN concat({_P}, ' is the CEO of ', {_C}, '.')
+    WHEN 0 THEN concat({subject}, ' works at ', {_C}, '.')
+    WHEN 1 THEN concat({subject}, ' no longer works at ', {_C}, '.')
+    WHEN 2 THEN concat({subject}, ' moved to ', {_L}, '.')
+    WHEN 3 THEN concat({subject}, ' likes ', {_Q}, '.')
+    WHEN 4 THEN concat({subject}, ' dislikes ', {_Q}, '.')
+    WHEN 5 THEN concat({subject}, ' is the CEO of ', {_C}, '.')
     WHEN 6 THEN concat('Tell me about ', {_C}, '.')
     ELSE 'The weather is nice today.'
   END AS text,
@@ -75,9 +77,30 @@ FROM events
 """
 
 
+# One statement, two engines.
+TRANSCRIPTS_SQL = _transcripts_sql(_P)
+
+# Alias-bearing variant: half the mentions of each person use the
+# two-token full-name surface form, so node dedupe / canonicalization
+# has real duplicate components on the driver corpus too (the
+# synthesized-fixture corpus already exercises this via ALIASES).
+PEOPLE_FULL = [
+    "Alice Smith", "Bob Jones", "Carol King", "Dave Lee",
+    "Erin Cole", "Frank Moore", "Grace Park", "Heidi Klum",
+]
+_PF = _sql_pick("user_id % 8", PEOPLE_FULL)
+_PA = f"CASE WHEN event_id % 16 >= 8 THEN {_PF} ELSE {_P} END"
+ALIASED_TRANSCRIPTS_SQL = _transcripts_sql(_PA)
+
+
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(TRANSCRIPTS_SQL)
+
+
+def transcripts_from_events_aliased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(ALIASED_TRANSCRIPTS_SQL)
 
 
 def transcripts_sql_cte() -> str:
