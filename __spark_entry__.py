@@ -131,6 +131,23 @@ def q_kg_duplicate_of(spark, sf_dir):
     )
 
 
+def q_kg_edges_canonical(spark, sf_dir):
+    """Full pipeline over the aliased corpus: alias surfaces merge via
+    connected components, so invalidation fires across surface forms."""
+    t = tr.transcripts_from_events_aliased(spark, sf_dir)
+    tables = pl.build_graph(t, with_embeddings=False)
+    return tables["edges"].select(
+        "uuid",
+        "group_id",
+        "subj_name",
+        F.col("name").alias("pred"),
+        "obj_name",
+        "valid_at",
+        "invalid_at",
+        F.size("episodes").cast("bigint").alias("n_episodes"),
+    )
+
+
 def q_kg_canonical_map(spark, sf_dir):
     mentions = ex.mentions_with_entity_uuid(ex.extract_mentions(_eps_alias(spark, sf_dir)))
     _, uuid_map = dd.resolve_nodes(mentions)
@@ -436,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes_page": q_kg_nodes_page,
         "kg_duplicate_of": q_kg_duplicate_of,
         "kg_canonical_map": q_kg_canonical_map,
+        "kg_edges_canonical": q_kg_edges_canonical,
         "kg_edge_candidates": q_kg_edge_candidates,
         "kg_bfs": q_kg_bfs,
         "kg_node_distance": q_kg_node_distance,
@@ -486,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes_page": oracle.KG_NODES_PAGE,
         "kg_duplicate_of": oracle.KG_DUPLICATE_OF,
         "kg_canonical_map": oracle.KG_CANONICAL_MAP,
+        "kg_edges_canonical": oracle.KG_EDGES_CANONICAL,
         "kg_edge_candidates": oracle.KG_EDGE_CANDIDATE_PAIRS,
         "kg_bfs": oracle.KG_BFS,
         "kg_node_distance": oracle.KG_NODE_DISTANCE,

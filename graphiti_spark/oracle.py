@@ -230,6 +230,89 @@ SELECT raw AS raw_uuid,
        group_id
 FROM touched GROUP BY group_id, raw"""
 
+# Flagship cross-check: the FULL dataflow — extraction → dedupe verdict
+# → canonicalization → edge dedupe → bi-temporal invalidation — over the
+# aliased corpus, keyed on canonical entity uuids. Alias surfaces merge,
+# so e.g. "Alice likes Bob" invalidates against a later
+# "Alice Smith dislikes Bob" (canonicalization feeding T1-T3). Uses the
+# pair-component canonical rule (see KG_CANONICAL_MAP).
+KG_EDGES_CANONICAL = f"""WITH {CTE_TRANSCRIPTS_ALIAS},
+{CTE_EPS},
+  men AS ({_MEN}),
+  ent AS (
+    SELECT DISTINCT group_id,
+           md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+           entity_name AS name,
+           list_distinct(list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                                     t -> t <> '')) AS toks,
+           (list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                        t -> t <> ''))[1] AS ftok
+    FROM men),
+  dup AS (
+    SELECT a.group_id, a.uuid AS au, b.uuid AS bu
+    FROM ent a JOIN ent b
+      ON a.group_id = b.group_id AND a.uuid < b.uuid
+    WHERE lower(a.name) = lower(b.name)
+       OR (a.ftok = b.ftok
+           AND (list_has_all(a.toks, b.toks) OR list_has_all(b.toks, a.toks)))),
+  touched AS (
+    SELECT group_id, au AS raw, bu AS other FROM dup
+    UNION ALL
+    SELECT group_id, bu AS raw, au AS other FROM dup),
+  cmap AS (
+    SELECT group_id, raw, least(raw, min(other)) AS canon
+    FROM touched GROUP BY group_id, raw),
+  tri AS ({rules.triples_select_sql()}),
+  tric AS (
+    SELECT t.*,
+           md5(concat_ws('|', 'ed', t.group_id, t.episode_uuid,
+                         t.subj_name, t.pred, t.obj_name)) AS edge_uuid,
+           coalesce(cs.canon, md5(concat_ws('|', 'en', t.group_id, lower(t.subj_name)))) AS csubj,
+           coalesce(co.canon, md5(concat_ws('|', 'en', t.group_id, lower(t.obj_name)))) AS cobj
+    FROM tri t
+    LEFT JOIN cmap cs ON cs.group_id = t.group_id
+      AND cs.raw = md5(concat_ws('|', 'en', t.group_id, lower(t.subj_name)))
+    LEFT JOIN cmap co ON co.group_id = t.group_id
+      AND co.raw = md5(concat_ws('|', 'en', t.group_id, lower(t.obj_name)))),
+  asserted AS (SELECT * FROM tric WHERE valid_at IS NOT NULL),
+  term AS (SELECT * FROM tric WHERE invalid_at IS NOT NULL AND valid_at IS NULL),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY group_id, csubj, cobj, pred
+                                 ORDER BY valid_at, episode_uuid) AS rn
+    FROM asserted),
+  firstrow AS (SELECT * FROM ranked WHERE rn = 1),
+  merged AS (
+    SELECT group_id, csubj, cobj, pred,
+           min(valid_at) AS valid_at,
+           count(DISTINCT episode_uuid) AS n_episodes
+    FROM asserted GROUP BY 1, 2, 3, 4),
+  inv AS (
+    SELECT m.*,
+      (SELECT min(t.invalid_at) FROM term t
+        WHERE t.group_id = m.group_id AND t.csubj = m.csubj
+          AND t.cobj = m.cobj AND t.pred = m.pred
+          AND t.invalid_at > m.valid_at) AS term_invalid_at,
+      (SELECT min(a2.valid_at) FROM merged a2
+        WHERE a2.group_id = m.group_id AND a2.csubj = m.csubj
+          AND a2.cobj = m.cobj AND a2.valid_at > m.valid_at
+          AND a2.pred = (CASE m.pred WHEN 'LIKES' THEN 'DISLIKES'
+                                     WHEN 'DISLIKES' THEN 'LIKES' END)) AS anto_invalid_at
+    FROM merged m)
+SELECT f.edge_uuid AS uuid, i.group_id, f.subj_name, i.pred, f.obj_name, i.valid_at,
+       least(i.term_invalid_at, i.anto_invalid_at) AS invalid_at,
+       cast(i.n_episodes AS bigint) AS n_episodes
+FROM inv i
+JOIN firstrow f ON f.group_id = i.group_id AND f.csubj = i.csubj
+  AND f.cobj = i.cobj AND f.pred = i.pred
+UNION ALL
+SELECT min(edge_uuid) AS uuid, group_id,
+       arg_min(subj_name, edge_uuid) AS subj_name, pred,
+       arg_min(obj_name, edge_uuid) AS obj_name,
+       cast(NULL AS timestamp) AS valid_at,
+       min(invalid_at) AS invalid_at,
+       cast(count(DISTINCT episode_uuid) AS bigint) AS n_episodes
+FROM term GROUP BY group_id, csubj, cobj, pred"""
+
 # J2/J4-edge: candidate edge pairs — same undirected endpoints + fact
 # word-overlap (search_utils.py:734-800; bulk_utils.py:297,313-337).
 KG_EDGE_CANDIDATE_PAIRS = f"""WITH {kg_triples_ctes()},
