@@ -194,9 +194,7 @@ def canonical_nodes(
         .withColumn("created_at", F.lit(created_at_lit).cast("timestamp"))
     )
     if with_embeddings:
-        nodes = nodes.withColumn(
-            "name_embedding", emb.embed_udf(F.regexp_replace(F.col("name"), "\n", " "))
-        )
+        nodes = emb.attach_embedding(nodes, "name", "name_embedding")
     else:
         nodes = nodes.withColumn("name_embedding", F.lit(None).cast("array<float>"))
     return nodes.select(

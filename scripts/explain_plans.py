@@ -34,7 +34,7 @@ def show(name: str, df) -> None:
         flags.append("broadcast✓")
     if "CartesianProduct" in text:
         flags.append("CARTESIAN⚠")
-    if "WholeStageCodegen" in text:
+    if "WholeStageCodegen" in text or "codegen id :" in text:
         flags.append("codegen✓")
     n_exch = text.count("Exchange")
     print(f"--> flags: {flags}, exchanges: {n_exch}")
