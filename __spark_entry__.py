@@ -225,6 +225,23 @@ def q_kg_communities(spark, sf_dir):
     return membership.select("source_node_uuid", "target_node_uuid", "group_id")
 
 
+def q_kg_search_recipes(spark, sf_dir):
+    """Top-level search() orchestration (§2.11): combined hybrid RRF
+    over all object tables; rows-only (hash-embedding based)."""
+    from graphiti_spark.operators import search_recipes as sr
+
+    tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=True)
+    tables = {k: v.localCheckpoint() for k, v in tables.items()}
+    out = sr.search(tables, "Alice works at Acme")
+    parts = [
+        df.withColumn("object", F.lit(name)) for name, df in sorted(out.items())
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select("object", "uuid", F.round("score", 4).alias("score"))
+
+
 def q_kg_search_hybrid(spark, sf_dir):
     tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=True)
     edges = tables["edges"].localCheckpoint()
@@ -461,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_uuid_map_alias": q_kg_uuid_map_alias,
         "kg_communities": q_kg_communities,
         "kg_search_hybrid": q_kg_search_hybrid,
+        "kg_search_recipes": q_kg_search_recipes,
         "topk_events_per_user": q_topk_events_per_user,
         "window_running_value": q_window_running_value,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,

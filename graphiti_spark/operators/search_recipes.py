@@ -1,0 +1,192 @@
+"""Top-level search orchestration (SURVEY §2.11).
+
+Mirrors search/search.py:66-162: one query fans out per-object
+sub-searches (edges / nodes / episodes / communities), each sub-search
+fans out its methods (bm25 | cosine_similarity | bfs) at 2×limit,
+uuid-dedups, reranks (rrf | mmr | cross_encoder | node_distance |
+episode_mentions), and truncates to limit. The canned configs mirror
+search/search_config_recipes.py:34-223; the default top-level recipe is
+edge+node hybrid RRF, switching to node_distance when a center node is
+given (graphiti.py:907-910).
+
+Everything is DataFrame composition over the materialized graph tables
+— the sub-searches are independent plans, so Spark schedules their
+stages concurrently within one action (the reference's asyncio gather
+becomes free DAG parallelism).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions import embeddings as embf
+from graphiti_spark.operators import search as srch
+
+DEFAULT_SEARCH_LIMIT = srch.DEFAULT_SEARCH_LIMIT
+
+
+@dataclass(frozen=True)
+class ObjectConfig:
+    """One sub-search: which methods fan out and which reranker fuses."""
+
+    methods: tuple[str, ...] = ("bm25", "cosine")  # bm25 | cosine | bfs
+    reranker: str = "rrf"  # rrf | mmr | cross_encoder | node_distance | episode_mentions
+    text_col: str = "fact"
+    emb_col: str = "fact_embedding"
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    edge: ObjectConfig | None = field(
+        default_factory=lambda: ObjectConfig(text_col="fact", emb_col="fact_embedding")
+    )
+    node: ObjectConfig | None = field(
+        default_factory=lambda: ObjectConfig(text_col="name", emb_col="name_embedding")
+    )
+    episode: ObjectConfig | None = field(
+        default_factory=lambda: ObjectConfig(methods=("bm25",), text_col="content")
+    )
+    community: ObjectConfig | None = None
+    limit: int = DEFAULT_SEARCH_LIMIT
+
+
+# Canned recipes (search_config_recipes.py:34-223 analogs).
+RECIPES: dict[str, SearchConfig] = {
+    "combined_hybrid_rrf": SearchConfig(),
+    "edge_hybrid_rrf": SearchConfig(node=None, episode=None),
+    "node_hybrid_rrf": SearchConfig(edge=None, episode=None),
+    "edge_hybrid_cross_encoder": SearchConfig(
+        edge=ObjectConfig(reranker="cross_encoder"), node=None, episode=None
+    ),
+    "node_hybrid_mmr": SearchConfig(
+        edge=None, node=ObjectConfig(reranker="mmr", text_col="name", emb_col="name_embedding"),
+        episode=None,
+    ),
+    "combined_hybrid_mmr": SearchConfig(
+        edge=ObjectConfig(reranker="mmr"),
+        node=ObjectConfig(reranker="mmr", text_col="name", emb_col="name_embedding"),
+        episode=None,
+    ),
+}
+
+
+def _one_object(
+    df: DataFrame,
+    cfg: ObjectConfig,
+    query: str,
+    query_vec: list[float],
+    limit: int,
+    group_ids: list[str] | None,
+    center_node_uuid: str | None,
+    edges_for_rerank: DataFrame | None,
+    mentions_for_rerank: DataFrame | None,
+    object_name: str = "",
+) -> DataFrame:
+    fanout = 2 * limit  # candidate budget per method (search.py:183-201)
+    parts: list[DataFrame] = []
+    if "bm25" in cfg.methods:
+        parts.append(
+            srch.bm25_search(df, cfg.text_col, query, limit=fanout, group_ids=group_ids)
+        )
+    if "cosine" in cfg.methods and cfg.emb_col in df.columns:
+        parts.append(
+            srch.cosine_search(
+                df, cfg.emb_col, query_vec, limit=fanout, min_score=0.0, group_ids=group_ids
+            )
+        )
+    if "bfs" in cfg.methods and edges_for_rerank is not None and center_node_uuid:
+        reach = srch.bfs_neighborhood(edges_for_rerank, [center_node_uuid])
+        parts.append(
+            reach.filter(F.col("depth") > 0).select(
+                "uuid", (1.0 / F.col("depth")).alias("score")
+            )
+        )
+    if not parts:
+        return df.select("uuid").limit(0).withColumn("score", F.lit(0.0))
+    # uuid-dedup keeps each candidate's best method score (search.py:219)
+    fused_in = parts[0]
+    for p in parts[1:]:
+        fused_in = fused_in.unionByName(p)
+    candidates = fused_in.groupBy("uuid").agg(F.max("score").alias("score"))
+
+    rr = cfg.reranker
+    if rr == "node_distance" and center_node_uuid and edges_for_rerank is not None:
+        if object_name == "edges":
+            # edges rank by their SOURCE node's distance to the center
+            # (search.py:264-270): edge uuid → source node → distance
+            src_map = df.select("uuid", F.col("source_node_uuid").alias("nuuid"))
+            node_scores = srch.node_distance_rerank(
+                candidates.join(src_map, "uuid").select(F.col("nuuid").alias("uuid")).distinct(),
+                edges_for_rerank,
+                center_node_uuid,
+                far_score=1e9,
+            ).withColumnRenamed("uuid", "nuuid")
+            return (
+                candidates.join(src_map, "uuid")
+                .join(node_scores, "nuuid")
+                .select("uuid", node_scores["score"].alias("score"))
+                .orderBy(F.asc("score"), F.asc("uuid"))
+                .limit(limit)
+            )
+        out = srch.node_distance_rerank(
+            candidates, edges_for_rerank, center_node_uuid, far_score=1e9
+        )
+        return out.limit(limit)
+    if rr == "episode_mentions" and mentions_for_rerank is not None:
+        return srch.episode_mentions_rerank(candidates, mentions_for_rerank).limit(limit)
+    if rr == "mmr":
+        with_vec = candidates.join(df.select("uuid", cfg.emb_col), "uuid")
+        return srch.mmr_rerank(with_vec, cfg.emb_col, query_vec).limit(limit)
+    if rr == "cross_encoder":
+        with_text = candidates.select("uuid").join(df.select("uuid", cfg.text_col), "uuid")
+        return srch.cross_encoder_rank(with_text, cfg.text_col, query, limit=limit)
+    # default: RRF over the per-method ranked lists (search.py:219-274)
+    return srch.rrf(parts).limit(limit)
+
+
+def search(
+    tables: dict[str, DataFrame],
+    query: str,
+    config: str | SearchConfig = "combined_hybrid_rrf",
+    group_ids: list[str] | None = None,
+    center_node_uuid: str | None = None,
+    query_vec: list[float] | None = None,
+    limit: int | None = None,
+) -> dict[str, DataFrame]:
+    """graphiti.search_ analog over materialized tables
+    {edges, nodes, episodes, mentions}. Returns per-object ranked
+    (uuid, score) DataFrames. When a center node is given the edge
+    reranker switches to node_distance (graphiti.py:907-910)."""
+    cfg = RECIPES[config] if isinstance(config, str) else config
+    limit = limit or cfg.limit
+    if query_vec is None:
+        query_vec = [float(x) for x in embf.embed_texts_np(
+            __import__("pandas").Series([query.replace("\n", " ")])
+        )[0]]
+
+    edges = tables.get("edges")
+    mentions = tables.get("mentions")
+    out: dict[str, DataFrame] = {}
+    plan = [
+        ("edges", cfg.edge, edges),
+        ("nodes", cfg.node, tables.get("nodes")),
+        ("episodes", cfg.episode, tables.get("episodes")),
+        ("communities", cfg.community, tables.get("communities")),
+    ]
+    for name, ocfg, df in plan:
+        if ocfg is None or df is None:
+            continue
+        eff = ocfg
+        if name == "edges" and center_node_uuid:
+            eff = ObjectConfig(
+                methods=ocfg.methods, reranker="node_distance",
+                text_col=ocfg.text_col, emb_col=ocfg.emb_col,
+            )
+        out[name] = _one_object(
+            df, eff, query, query_vec, limit, group_ids,
+            center_node_uuid, edges, mentions, object_name=name,
+        )
+    return out

@@ -14,9 +14,11 @@ conversation's group via the merge keying.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphiti_spark import rules
 from graphiti_spark.plans import pipeline as pl
 from graphiti_spark.plans import materialize as mat
 from graphiti_spark.schemas import TRANSCRIPTS
@@ -61,6 +63,57 @@ def start_incremental_pipeline(
         .foreachBatch(process)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+NEW_ENTITIES_SCHEMA = "conv_id string, entity_name string, first_turn_idx int"
+_STATE_SCHEMA = "seen array<string>"
+
+
+def track_new_entities(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-conversation entity-discovery deltas.
+
+    State per conv_id = the set of entity names already seen; each
+    micro-batch runs the same vectorized mention extractor the batch
+    pipeline uses (rules.extract_mentions_pdf) over the new turns and
+    emits only first-ever mentions — the streaming-native form of the
+    reference's incremental add_episode entity discovery
+    (graphiti.py:352-551), with exactly-once-per-entity output falling
+    out of the keyed state instead of graph lookups. State is bounded
+    by vocabulary per conversation, not turn count.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def track(key, pdfs, state):
+        conv_id = key[0]
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            eps = pd.DataFrame(
+                {
+                    "uuid": pdf["turn_idx"].astype(str),
+                    "group_id": conv_id,
+                    "role": pdf["role"],
+                    "text": pdf["text"],
+                }
+            )
+            men = rules.extract_mentions_pdf(eps)
+            men = men.sort_values(["episode_uuid", "mention_order"])
+            for r in men.itertuples():
+                if r.entity_name not in seen:
+                    seen.add(r.entity_name)
+                    rows.append((conv_id, r.entity_name, int(r.episode_uuid)))
+        state.update((sorted(seen),))
+        yield pd.DataFrame(rows, columns=["conv_id", "entity_name", "first_turn_idx"])
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        track,
+        outputStructType=NEW_ENTITIES_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -47,3 +47,54 @@ def test_windowed_counts(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("SELECT sum(n_turns) FROM turn_counts").first()[0]
     assert got == 15
+
+
+def test_stateful_new_entity_tracking(spark, tmp_path):
+    """applyInPandasWithState: an entity is emitted exactly once per
+    conversation even when its mentions span micro-batches."""
+    import pandas as pd
+    from graphiti_spark import transcripts as tr
+    from graphiti_spark.schemas import TRANSCRIPTS
+    from graphiti_spark.streaming import stream as st
+
+    in_dir = tmp_path / "turns"
+    in_dir.mkdir()
+    base = pd.Timestamp("2025-01-01")
+    mk = lambda rows: pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"turn_idx": "int32"})
+    # batch 1: Alice + Acme appear; batch 2: Alice repeats, Bob is new
+    b1 = mk([("c1", 0, "user", "Alice works at Acme.", "", base)])
+    b2 = mk([
+        ("c1", 1, "assistant", "Alice likes Bob.", "", base + pd.Timedelta(minutes=1)),
+    ])
+    import time as _time
+
+    # append part files at the TOP level of in_dir (the file source does
+    # not recurse into nested directories); distinct mtimes keep the
+    # oldest-first processing order deterministic
+    spark.createDataFrame(b1, schema=TRANSCRIPTS).coalesce(1).write.mode("append").parquet(str(in_dir))
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema=TRANSCRIPTS).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    src = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)  # force separate micro-batches
+        .parquet(str(in_dir))
+    )
+    out = st.track_new_entities(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("new_entities")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from new_entities").toPandas()
+    # exactly one row per entity; repeats across batches suppressed by state
+    assert sorted(got["entity_name"]) == ["Acme", "Alice", "Bob", "assistant", "user"]
+    assert len(got) == len(set(got["entity_name"]))
+    firsts = got.set_index("entity_name")["first_turn_idx"]
+    assert firsts["Acme"] == 0 and firsts["Bob"] == 1
