@@ -251,6 +251,56 @@ def q_kg_search_hybrid(spark, sf_dir):
     return srch.rrf([bm, cos]).limit(10)
 
 
+def q_kg_episode_subgraph(spark, sf_dir):
+    """get_nodes_and_edges_by_episode (rows-only: canonical tables)."""
+    from graphiti_spark.operators import graph_ops as go
+
+    tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
+    tables = {k: v.localCheckpoint() for k, v in tables.items()}
+    eps = tables["episodes"].filter(F.size("entity_edges") > 0).orderBy("uuid").limit(5)
+    out = go.nodes_and_edges_by_episode(tables, eps.select("uuid"))
+    return (
+        out["edges"].select(F.lit("edge").alias("object"), "uuid")
+        .unionByName(out["nodes"].select(F.lit("node").alias("object"), "uuid"))
+    )
+
+
+def q_kg_remove_episode(spark, sf_dir):
+    """remove_episode cascade (rows-only): rows deleted per table."""
+    from graphiti_spark.operators import graph_ops as go
+
+    tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
+    tables = {k: v.localCheckpoint() for k, v in tables.items()}
+    ep_uuid = tables["mentions"].orderBy("source_node_uuid").first()["source_node_uuid"]
+    after = go.remove_episode(tables, ep_uuid)
+    rows = [
+        (name, tables[name].count() - after[name].count())
+        for name in ("episodes", "nodes", "edges", "mentions")
+    ]
+    return spark.createDataFrame(rows, "table string, n_removed long")
+
+
+def q_kg_add_triplets(spark, sf_dir):
+    """add_triplet batch analog (rows-only): manual insert + antonym
+    invalidation against the existing graph."""
+    from graphiti_spark.operators import graph_ops as go
+
+    tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
+    tables = {k: v.localCheckpoint() for k, v in tables.items()}
+    g = tables["edges"].select("group_id").orderBy("group_id").first()[0]
+    new = spark.createDataFrame(
+        [
+            (g, "Zed", "LIKES", "Yara", None, "2025-03-01 00:00:00"),
+            (g, "Zed", "DISLIKES", "Yara", None, "2025-04-01 00:00:00"),
+        ],
+        "group_id string, subj_name string, pred string, obj_name string, fact string, valid_at string",
+    )
+    out = go.add_triplets(tables, new, pl.RUN_TS)
+    return out["edges"].filter(F.col("subj_name") == "Zed").select(
+        "uuid", "name", "valid_at", "invalid_at"
+    )
+
+
 # --- relational / search oracle-checked queries -----------------------------
 
 def q_topk_events_per_user(spark, sf_dir):
@@ -479,6 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_search_hybrid": q_kg_search_hybrid,
         "kg_search_recipes": q_kg_search_recipes,
+        "kg_episode_subgraph": q_kg_episode_subgraph,
+        "kg_remove_episode": q_kg_remove_episode,
+        "kg_add_triplets": q_kg_add_triplets,
         "topk_events_per_user": q_topk_events_per_user,
         "window_running_value": q_window_running_value,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
