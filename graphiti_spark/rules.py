@@ -93,7 +93,8 @@ def extract_triples_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     Deterministic analog of extract_edges (edge_operations.py:110-244).
     """
     outs: list[pd.DataFrame] = []
-    text = pdf["text"].fillna("")
+    # astype(str) after fillna keeps empty/NaN-typed batches total
+    text = pdf["text"].fillna("").astype(str)
     for rule in TRIPLE_RULES:
         cap = text.str.extract(rule.pattern)  # 2 capture groups
         hit = cap[0].notna()
@@ -164,7 +165,7 @@ def extract_mentions_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             }
         )
     )
-    text = pdf["text"].fillna("")
+    text = pdf["text"].fillna("").astype(str)
     for rule in RULES:
         cap = text.str.extract(rule.pattern)
         for gi in range(cap.shape[1]):
