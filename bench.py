@@ -110,6 +110,11 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     turns_per_sec = round(n_turns / times["kg_pipeline"], 1) if times.get("kg_pipeline") else None
+
+    # north-rule quality gate, reported alongside throughput
+    from graphiti_spark.metrics import triple_precision_recall
+
+    precision, recall = triple_precision_recall(spark)
     print(
         json.dumps(
             {
@@ -120,6 +125,8 @@ def main() -> None:
                 "sf": sf_dir,
                 "cpus": cpus,
                 "turns_per_sec_kg_pipeline": turns_per_sec,
+                "triple_precision": round(precision, 4),
+                "triple_recall": round(recall, 4),
             }
         )
     )

@@ -153,7 +153,12 @@ def resolve_nodes(mentions_with_uuid: DataFrame) -> tuple[DataFrame, DataFrame]:
     for every raw uuid in a duplicate component (identity rows omitted).
     """
     entities = distinct_entities(mentions_with_uuid)
-    dups = duplicate_pairs(candidate_pairs(entities))
+    # eager checkpoint: the blocked token self-join is consumed three
+    # ways (CC probe collect + both direction branches of the groups
+    # union) and again by every downstream action through uuid_map —
+    # without a checkpoint it recomputes each time (measured ~40% of
+    # pipeline wall at 5M turns)
+    dups = duplicate_pairs(candidate_pairs(entities)).localCheckpoint()
     return entities, uuid_map_from_pairs(dups)
 
 

@@ -78,6 +78,8 @@ def build_graph(
         triples_raw = triples_raw.localCheckpoint(eager=False)
 
     entities, uuid_map = dd.resolve_nodes(mentions_raw)
+    if share:
+        uuid_map = uuid_map.localCheckpoint(eager=False)
     nodes = dd.canonical_nodes(entities, uuid_map, run_ts, with_embeddings=with_embeddings)
 
     triples = er.resolve_edge_pointers(triples_raw, uuid_map)

@@ -134,27 +134,9 @@ def test_full_pipeline_materialize_and_resume(spark, tmp_path):
 def test_triple_pr_vs_oracle(spark):
     """North-rule gate: P/R ≥ 0.95 on (subj, pred, obj) vs the rule oracle.
     Subject surface forms canonicalize (alias → canonical name), so
-    compare on canonicalized names from the nodes table."""
-    pdf = tr.synthesize_transcripts_pdf(n_convs=40, turns_per_conv=10)
-    t = spark.createDataFrame(pdf, schema=TS)
-    tables = pl.build_graph(t, with_embeddings=False)
-    e = tables["edges"].toPandas()
-    n = tables["nodes"].toPandas().set_index("uuid")["name"].to_dict()
+    compare on canonicalized names from the nodes table. Shares the
+    metric implementation with bench.py (graphiti_spark.metrics)."""
+    from graphiti_spark.metrics import triple_precision_recall
 
-    got = []
-    for r in e.itertuples():
-        for _ in r.episodes:  # multiset: one triple per provenance episode
-            got.append((r.group_id, n[r.source_node_uuid].split()[0], r.name, n[r.target_node_uuid].split()[0]))
-
-    exp_pdf = tr.ground_truth_triples_pdf(pdf)
-    exp = [
-        (r.group_id, r.subj_name.split()[0], r.pred, r.obj_name.split()[0])
-        for r in exp_pdf.itertuples()
-    ]
-    from collections import Counter
-
-    got_c, exp_c = Counter(got), Counter(exp)
-    tp = sum((got_c & exp_c).values())
-    precision = tp / sum(got_c.values())
-    recall = tp / sum(exp_c.values())
+    precision, recall = triple_precision_recall(spark)
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
