@@ -478,8 +478,24 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    # Project the array<float> feature to sortable scalars: the driver's
+    # canonicalizer sorts every column, and python lists aren't hashable
+    # (r1 harness TypeError). feature_csv preserves full vector equality;
+    # l2_norm/argmax give cheap scalar invariants.
     media = mm.synth_media(spark, 64)
-    return mm.extract_features(media)
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.size("feature").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x * x)), 4
+        ).alias("l2_norm"),
+        F.expr("array_position(feature, array_max(feature))").cast("int").alias("argmax"),
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_number(x, 4))
+        ).alias("feature_csv"),
+    )
 
 
 def q_simhash_pairs_documents(spark, sf_dir):

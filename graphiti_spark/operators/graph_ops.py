@@ -127,7 +127,12 @@ def add_triplets(
             "left_semi",
         )
         .select(
-            F.element_at("episodes", 1).alias("episode_uuid"),
+            # one triple row PER provenance episode: resolve_edges rebuilds
+            # the episodes array via collect_set(episode_uuid), so carrying
+            # only episodes[0] would silently shrink multi-episode
+            # provenance on every touched key (the reference's add_triplet
+            # never rewrites existing edges' provenance)
+            F.explode_outer("episodes").alias("episode_uuid"),
             "group_id",
             F.col("source_node_uuid").alias("subj_uuid"),
             F.col("target_node_uuid").alias("obj_uuid"),

@@ -106,14 +106,20 @@ def _one_object(
         )
     if not parts:
         return df.select("uuid").limit(0).withColumn("score", F.lit(0.0))
-    # uuid-dedup keeps each candidate's best method score (search.py:219)
-    fused_in = parts[0]
-    for p in parts[1:]:
-        fused_in = fused_in.unionByName(p)
-    candidates = fused_in.groupBy("uuid").agg(F.max("score").alias("score"))
+
+    def candidates_df() -> DataFrame:
+        # uuid-dedup keeping each candidate's best method score
+        # (search.py:219) — built only inside the reranker branches that
+        # consume it; the default rrf path fuses `parts` directly and
+        # never needs this aggregation in its plan
+        fused_in = parts[0]
+        for p in parts[1:]:
+            fused_in = fused_in.unionByName(p)
+        return fused_in.groupBy("uuid").agg(F.max("score").alias("score"))
 
     rr = cfg.reranker
     if rr == "node_distance" and center_node_uuid and edges_for_rerank is not None:
+        candidates = candidates_df()
         if object_name == "edges":
             # edges rank by their SOURCE node's distance to the center
             # (search.py:264-270): edge uuid → source node → distance
@@ -136,12 +142,12 @@ def _one_object(
         )
         return out.limit(limit)
     if rr == "episode_mentions" and mentions_for_rerank is not None:
-        return srch.episode_mentions_rerank(candidates, mentions_for_rerank).limit(limit)
+        return srch.episode_mentions_rerank(candidates_df(), mentions_for_rerank).limit(limit)
     if rr == "mmr":
-        with_vec = candidates.join(df.select("uuid", cfg.emb_col), "uuid")
+        with_vec = candidates_df().join(df.select("uuid", cfg.emb_col), "uuid")
         return srch.mmr_rerank(with_vec, cfg.emb_col, query_vec).limit(limit)
     if rr == "cross_encoder":
-        with_text = candidates.select("uuid").join(df.select("uuid", cfg.text_col), "uuid")
+        with_text = candidates_df().select("uuid").join(df.select("uuid", cfg.text_col), "uuid")
         return srch.cross_encoder_rank(with_text, cfg.text_col, query, limit=limit)
     # default: RRF over the per-method ranked lists (search.py:219-274)
     return srch.rrf(parts).limit(limit)

@@ -195,6 +195,39 @@ WHERE lower(a.name) = lower(b.name)
    OR (a.ftok = b.ftok
        AND (list_has_all(a.toks, b.toks) OR list_has_all(b.toks, a.toks)))"""
 
+# Precondition of the pair-component canonical rule used by
+# KG_CANONICAL_MAP / KG_EDGES_CANONICAL below: least(raw, min(direct
+# partner)) equals the true component-min ONLY when every duplicate
+# component has size exactly 2 (one short/full alias pair per group).
+# A future corpus change producing 3+ alias chains would make those
+# oracles silently diverge from the Spark connected-components result,
+# so the harness runs this first and fails loudly: rows = entities
+# participating in more than one duplicate pair per group (must be 0).
+ASSERT_PAIR_COMPONENTS = f"""WITH {CTE_TRANSCRIPTS_ALIAS},
+{CTE_EPS},
+  men AS ({_MEN}),
+  ent AS (
+    SELECT DISTINCT group_id,
+           md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+           entity_name AS name,
+           list_distinct(list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                                     t -> t <> '')) AS toks,
+           (list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                        t -> t <> ''))[1] AS ftok
+    FROM men),
+  dup AS (
+    SELECT a.group_id, a.uuid AS au, b.uuid AS bu
+    FROM ent a JOIN ent b
+      ON a.group_id = b.group_id AND a.uuid < b.uuid
+    WHERE lower(a.name) = lower(b.name)
+       OR (a.ftok = b.ftok
+           AND (list_has_all(a.toks, b.toks) OR list_has_all(b.toks, a.toks))))
+SELECT group_id, uuid, cast(count(*) AS bigint) AS degree
+FROM (SELECT group_id, au AS uuid FROM dup
+      UNION ALL
+      SELECT group_id, bu AS uuid FROM dup)
+GROUP BY 1, 2 HAVING count(*) > 1"""
+
 # G1: canonicalization uuid_map over the aliased corpus. The alias
 # vocabulary yields duplicate components of size exactly 2 (short name
 # ↔ full name), so component-min canonicalization is expressible as

@@ -100,11 +100,16 @@ def track_new_entities(stream: DataFrame) -> DataFrame:
                 }
             )
             men = rules.extract_mentions_pdf(eps)
-            men = men.sort_values(["episode_uuid", "mention_order"])
+            # sort numerically by turn: the synthetic episode uuid is the
+            # turn index as a string, and lexicographic order puts '10'
+            # before '2' — which mis-reports first_turn_idx for any
+            # conversation with 10+ turns in one micro-batch
+            men["turn"] = men["episode_uuid"].astype(int)
+            men = men.sort_values(["turn", "mention_order"])
             for r in men.itertuples():
                 if r.entity_name not in seen:
                     seen.add(r.entity_name)
-                    rows.append((conv_id, r.entity_name, int(r.episode_uuid)))
+                    rows.append((conv_id, r.entity_name, int(r.turn)))
         state.update((sorted(seen),))
         yield pd.DataFrame(rows, columns=["conv_id", "entity_name", "first_turn_idx"])
 

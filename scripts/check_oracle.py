@@ -42,6 +42,16 @@ def main() -> int:
 
     qs, os_ = entry.queries(), entry.oracle_sql()
     failures = []
+
+    # oracle precondition: the pair-component canonical rule in
+    # KG_CANONICAL_MAP / KG_EDGES_CANONICAL is exact only for size-2
+    # duplicate components — fail loudly if the corpus ever changes
+    from graphiti_spark import oracle as _orc  # noqa: E402
+
+    viol = con.sql(_orc.ASSERT_PAIR_COMPONENTS).df()
+    if len(viol):
+        failures.append("assert_pair_components")
+        print(f"[PRECOND-FAIL] dedupe components of size >2 exist:\n{viol.head()}")
     for name, fn in qs.items():
         if only and name not in only:
             continue
