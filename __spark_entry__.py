@@ -30,6 +30,7 @@ from graphiti_spark.operators import dataset_text as dtx
 from graphiti_spark.operators import dedupe as dd
 from graphiti_spark.operators import episodes as ep_ops
 from graphiti_spark.operators import extraction as ex
+from graphiti_spark.operators import graph_resolution as gres
 from graphiti_spark.operators import multimodal as mm
 from graphiti_spark.operators import search as srch
 from graphiti_spark.plans import pipeline as pl
@@ -152,6 +153,24 @@ def q_kg_canonical_map(spark, sf_dir):
     mentions = ex.mentions_with_entity_uuid(ex.extract_mentions(_eps_alias(spark, sf_dir)))
     _, uuid_map = dd.resolve_nodes(mentions)
     return uuid_map.select("raw_uuid", "canonical_uuid", "group_id")
+
+
+def q_kg_cross_batch_map(spark, sf_dir):
+    """Resolve-vs-existing-graph (graphiti.py:722-781): batch A (even
+    turns) materializes canonical nodes; batch B (odd turns) dedupes
+    within itself then resolves against A's nodes — alias surfaces
+    spanning the two batches merge onto the EXISTING node's uuid."""
+    t = tr.transcripts_from_events_aliased(spark, sf_dir)
+    a = t.filter(F.col("turn_idx") % 2 == 0)
+    b = t.filter(F.col("turn_idx") % 2 == 1)
+    men_a = ex.mentions_with_entity_uuid(ex.extract_mentions(ep_ops.build_episodes(a)))
+    ents_a, map_a = dd.resolve_nodes(men_a)
+    nodes_a = dd.canonical_nodes(ents_a, map_a, pl.RUN_TS, with_embeddings=False)
+    men_b = ex.mentions_with_entity_uuid(ex.extract_mentions(ep_ops.build_episodes(b)))
+    ents_b, map_b = dd.resolve_nodes(men_b)
+    matches = gres.match_existing(ents_b, nodes_a)
+    ext = gres.extend_uuid_map(map_b, ents_b, matches)
+    return ext.select("raw_uuid", "canonical_uuid", "group_id")
 
 
 def q_kg_edge_candidates(spark, sf_dir):
@@ -536,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes_page": q_kg_nodes_page,
         "kg_duplicate_of": q_kg_duplicate_of,
         "kg_canonical_map": q_kg_canonical_map,
+        "kg_cross_batch_map": q_kg_cross_batch_map,
         "kg_edges_canonical": q_kg_edges_canonical,
         "kg_edge_candidates": q_kg_edge_candidates,
         "kg_bfs": q_kg_bfs,
@@ -591,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes_page": oracle.KG_NODES_PAGE,
         "kg_duplicate_of": oracle.KG_DUPLICATE_OF,
         "kg_canonical_map": oracle.KG_CANONICAL_MAP,
+        "kg_cross_batch_map": oracle.KG_CROSS_BATCH_MAP,
         "kg_edges_canonical": oracle.KG_EDGES_CANONICAL,
         "kg_edge_candidates": oracle.KG_EDGE_CANDIDATE_PAIRS,
         "kg_bfs": oracle.KG_BFS,

@@ -263,6 +263,89 @@ SELECT raw AS raw_uuid,
        group_id
 FROM touched GROUP BY group_id, raw"""
 
+# §3.2 step 9: resolve-vs-EXISTING-graph (graphiti.py:722-781 +
+# node_operations.py:176-290). Batch A = even turns materializes its
+# canonical nodes; batch B = odd turns dedupes within itself, then every
+# B surface probes A's nodes with the same verdict (exact name outranks
+# the alias subset rule; ties take min uuid) and a match remaps B's
+# whole within-batch component onto the EXISTING node's uuid (existing
+# always wins — unlike within-batch lexicographic min). Mirrors
+# operators/graph_resolution.py exactly, incl. the two-stage tie-break:
+# per-surface (rank, uuid) min, then per-component min over the chosen
+# targets.
+KG_CROSS_BATCH_MAP = f"""WITH {CTE_TRANSCRIPTS_ALIAS},
+{CTE_EPS},
+  men AS ({_MEN}),
+  men2 AS (
+    SELECT m.group_id, m.entity_name, e.turn_idx % 2 AS par
+    FROM men m JOIN eps e ON e.uuid = m.episode_uuid),
+  ent_a AS (
+    SELECT DISTINCT group_id,
+           md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+           entity_name AS name,
+           list_distinct(list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                                     t -> t <> '')) AS toks,
+           (list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                        t -> t <> ''))[1] AS ftok
+    FROM men2 WHERE par = 0),
+  ent_b AS (
+    SELECT DISTINCT group_id,
+           md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+           entity_name AS name,
+           list_distinct(list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                                     t -> t <> '')) AS toks,
+           (list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                        t -> t <> ''))[1] AS ftok
+    FROM men2 WHERE par = 1),
+  dup_a AS (
+    SELECT a.group_id, a.uuid AS au, b.uuid AS bu
+    FROM ent_a a JOIN ent_a b
+      ON a.group_id = b.group_id AND a.uuid < b.uuid
+    WHERE lower(a.name) = lower(b.name)
+       OR (a.ftok = b.ftok
+           AND (list_has_all(a.toks, b.toks) OR list_has_all(b.toks, a.toks)))),
+  mapped_away_a AS (
+    SELECT group_id, raw FROM (
+      SELECT group_id, au AS raw, bu AS other FROM dup_a
+      UNION ALL SELECT group_id, bu AS raw, au AS other FROM dup_a)
+    GROUP BY group_id, raw HAVING least(raw, min(other)) <> raw),
+  nodes_a AS (
+    SELECT e.* FROM ent_a e
+    LEFT JOIN mapped_away_a m ON m.group_id = e.group_id AND m.raw = e.uuid
+    WHERE m.raw IS NULL),
+  dup_b AS (
+    SELECT a.group_id, a.uuid AS au, b.uuid AS bu
+    FROM ent_b a JOIN ent_b b
+      ON a.group_id = b.group_id AND a.uuid < b.uuid
+    WHERE lower(a.name) = lower(b.name)
+       OR (a.ftok = b.ftok
+           AND (list_has_all(a.toks, b.toks) OR list_has_all(b.toks, a.toks)))),
+  canon_b AS (
+    SELECT group_id, raw, least(raw, min(other)) AS canonical FROM (
+      SELECT group_id, au AS raw, bu AS other FROM dup_b
+      UNION ALL SELECT group_id, bu AS raw, au AS other FROM dup_b)
+    GROUP BY group_id, raw),
+  match_raw AS (
+    SELECT b.group_id, b.uuid AS raw_uuid,
+           coalesce(min(CASE WHEN lower(b.name) = lower(a.name) THEN a.uuid END),
+                    min(a.uuid)) AS existing_uuid
+    FROM ent_b b JOIN nodes_a a ON a.group_id = b.group_id
+    WHERE lower(a.name) = lower(b.name)
+       OR (a.ftok = b.ftok
+           AND (list_has_all(a.toks, b.toks) OR list_has_all(b.toks, a.toks)))
+    GROUP BY 1, 2),
+  within AS (
+    SELECT e.group_id, e.uuid AS raw_uuid, coalesce(c.canonical, e.uuid) AS wc
+    FROM ent_b e LEFT JOIN canon_b c ON c.group_id = e.group_id AND c.raw = e.uuid),
+  comp AS (
+    SELECT w.group_id, w.wc, min(m.existing_uuid) AS ex
+    FROM within w JOIN match_raw m
+      ON m.group_id = w.group_id AND m.raw_uuid = w.raw_uuid
+    GROUP BY 1, 2)
+SELECT w.raw_uuid, coalesce(c.ex, w.wc) AS canonical_uuid, w.group_id
+FROM within w LEFT JOIN comp c ON c.group_id = w.group_id AND c.wc = w.wc
+WHERE w.raw_uuid <> coalesce(c.ex, w.wc)"""
+
 # Flagship cross-check: the FULL dataflow — extraction → dedupe verdict
 # → canonicalization → edge dedupe → bi-temporal invalidation — over the
 # aliased corpus, keyed on canonical entity uuids. Alias surfaces merge,

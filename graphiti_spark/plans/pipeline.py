@@ -31,6 +31,7 @@ from graphiti_spark.operators import dedupe as dd
 from graphiti_spark.operators import edge_resolution as er
 from graphiti_spark.operators import episodes as ep_ops
 from graphiti_spark.operators import extraction as ex
+from graphiti_spark.operators import graph_resolution as gr
 from graphiti_spark.plans import materialize as mat
 
 RUN_TS = "2025-06-01 00:00:00"  # fixed transaction time → deterministic output
@@ -41,6 +42,7 @@ def build_graph(
     run_ts: str = RUN_TS,
     with_embeddings: bool = True,
     share: bool = True,
+    existing_nodes: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Pure dataflow (no writes): transcripts → all graph tables.
 
@@ -78,9 +80,18 @@ def build_graph(
         triples_raw = triples_raw.localCheckpoint(eager=False)
 
     entities, uuid_map = dd.resolve_nodes(mentions_raw)
+    if existing_nodes is not None:
+        # cross-batch resolution against the materialized graph
+        # (graphiti.py:722-781, SURVEY §3.2 step 9): any batch surface
+        # matching an existing node remaps its whole within-batch
+        # component onto the existing node's uuid
+        matches = gr.match_existing(entities, existing_nodes)
+        uuid_map = gr.extend_uuid_map(uuid_map, entities, matches)
     if share:
         uuid_map = uuid_map.localCheckpoint(eager=False)
     nodes = dd.canonical_nodes(entities, uuid_map, run_ts, with_embeddings=with_embeddings)
+    if existing_nodes is not None:
+        nodes = gr.merge_node_payloads(nodes, existing_nodes)
 
     triples = er.resolve_edge_pointers(triples_raw, uuid_map)
     edges = er.resolve_edges(triples, run_ts, with_embeddings=with_embeddings)
@@ -141,7 +152,18 @@ def run_pipeline(
     per-stage, SURVEY §4.4)."""
     os.makedirs(out_dir, exist_ok=True)
     lineage = f"{out_dir}/lineage.parquet"
-    tables = build_graph(transcripts, run_ts=run_ts, with_embeddings=with_embeddings)
+    # incremental runs resolve this batch against the already-
+    # materialized graph (cross-batch canonicalization, §3.2 step 9)
+    nodes_path = f"{out_dir}/nodes.parquet"
+    existing_nodes = (
+        spark.read.parquet(nodes_path) if os.path.exists(nodes_path) else None
+    )
+    tables = build_graph(
+        transcripts,
+        run_ts=run_ts,
+        with_embeddings=with_embeddings,
+        existing_nodes=existing_nodes,
+    )
     counts: dict[str, int] = {}
     timer = mat.StageTimer()
     for name in ["episodes", "nodes", "edges", "mentions", "uuid_map"]:

@@ -51,8 +51,22 @@ def start_incremental_pipeline(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        import os
+
         spark = batch_df.sparkSession
-        tables = pl.build_graph(batch_df, run_ts=run_ts, with_embeddings=with_embeddings)
+        # resolve each micro-batch against the graph built so far —
+        # alias surfaces arriving in later batches merge onto the
+        # existing node (graphiti.py:722-781 cross-batch semantics)
+        nodes_path = f"{out_dir}/nodes.parquet"
+        existing_nodes = (
+            spark.read.parquet(nodes_path) if os.path.exists(nodes_path) else None
+        )
+        tables = pl.build_graph(
+            batch_df,
+            run_ts=run_ts,
+            with_embeddings=with_embeddings,
+            existing_nodes=existing_nodes,
+        )
         for name in ("episodes", "nodes", "edges", "mentions"):
             key = "uuid"
             mat.merge_parquet(spark, tables[name].localCheckpoint(), f"{out_dir}/{name}.parquet", key=key)
