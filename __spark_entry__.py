@@ -32,6 +32,7 @@ from graphiti_spark.operators import episodes as ep_ops
 from graphiti_spark.operators import extraction as ex
 from graphiti_spark.operators import graph_resolution as gres
 from graphiti_spark.operators import multimodal as mm
+from graphiti_spark.operators import ontology as ont
 from graphiti_spark.operators import search as srch
 from graphiti_spark.plans import pipeline as pl
 
@@ -96,6 +97,47 @@ def q_kg_edges(spark, sf_dir):
         "valid_at",
         "invalid_at",
         F.size("episodes").cast("bigint").alias("n_episodes"),
+    )
+
+
+def q_kg_typed_nodes(spark, sf_dir):
+    """entity_types analog (ontology.classify_nodes): labels from
+    predicate participation + typed Person attributes."""
+    tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
+    typed = ont.classify_nodes(tables["nodes"], tables["edges"])
+    return typed.select(
+        "uuid",
+        "name",
+        "group_id",
+        F.concat_ws(",", "labels").alias("labels"),
+        F.element_at("attributes", "entity_type").alias("entity_type"),
+        F.element_at("attributes", "first_name").alias("first_name"),
+        F.element_at("attributes", "last_name").alias("last_name"),
+    )
+
+
+def q_kg_typed_edges(spark, sf_dir):
+    """edge_type_map routing: the map deliberately omits
+    (Person, City) so RESIDENCE stays unrenamed (both branches hit)."""
+    tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
+    typed_nodes = ont.classify_nodes(tables["nodes"], tables["edges"])
+    typed = ont.type_edges(
+        tables["edges"],
+        typed_nodes,
+        edge_type_map={
+            ("Person", "Organization"): ["EMPLOYMENT", "LEADERSHIP"],
+            ("Person", "Person"): ["SENTIMENT"],
+        },
+    )
+    return typed.select(
+        "uuid",
+        "group_id",
+        "subj_name",
+        "name",
+        "obj_name",
+        "valid_at",
+        "invalid_at",
+        F.element_at("attributes", "fact_type").alias("fact_type"),
     )
 
 
@@ -556,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_duplicate_of": q_kg_duplicate_of,
         "kg_canonical_map": q_kg_canonical_map,
         "kg_cross_batch_map": q_kg_cross_batch_map,
+        "kg_typed_nodes": q_kg_typed_nodes,
+        "kg_typed_edges": q_kg_typed_edges,
         "kg_edges_canonical": q_kg_edges_canonical,
         "kg_edge_candidates": q_kg_edge_candidates,
         "kg_bfs": q_kg_bfs,
@@ -612,6 +656,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_duplicate_of": oracle.KG_DUPLICATE_OF,
         "kg_canonical_map": oracle.KG_CANONICAL_MAP,
         "kg_cross_batch_map": oracle.KG_CROSS_BATCH_MAP,
+        "kg_typed_nodes": oracle.KG_TYPED_NODES,
+        "kg_typed_edges": oracle.KG_TYPED_EDGES,
         "kg_edges_canonical": oracle.KG_EDGES_CANONICAL,
         "kg_edge_candidates": oracle.KG_EDGE_CANDIDATE_PAIRS,
         "kg_bfs": oracle.KG_BFS,

@@ -263,6 +263,85 @@ SELECT raw AS raw_uuid,
        group_id
 FROM touched GROUP BY group_id, raw"""
 
+# Typed entities (entity_types analog, graphiti.py:362-366 +
+# node_operations.py:293-378): labels derive from predicate
+# participation (the deterministic classifier in operators/ontology.py),
+# Person nodes get first/last-name attributes. Votes come from the
+# triples (assertions + terminations), matching the Spark side's votes
+# from resolved edges 1:1 — every triple key yields an edge row.
+_VOTES = """
+    SELECT group_id, lower(subj_name) AS ename, 'Person' AS label FROM tri
+      WHERE pred IN ('WORKS_AT','CEO_OF','LIVES_IN','LIKES','DISLIKES')
+    UNION
+    SELECT group_id, lower(obj_name) AS ename, 'Organization' AS label FROM tri
+      WHERE pred IN ('WORKS_AT','CEO_OF')
+    UNION
+    SELECT group_id, lower(obj_name) AS ename, 'City' AS label FROM tri
+      WHERE pred = 'LIVES_IN'
+    UNION
+    SELECT group_id, lower(obj_name) AS ename, 'Person' AS label FROM tri
+      WHERE pred IN ('LIKES','DISLIKES')"""
+
+KG_TYPED_NODES = f"""WITH {kg_triples_ctes()},
+  men AS ({_MEN}),
+  votes AS ({_VOTES}),
+  lab AS (
+    SELECT group_id, ename, list_sort(list(DISTINCT label)) AS tl
+    FROM votes GROUP BY 1, 2),
+  n AS (
+    SELECT DISTINCT group_id,
+           md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+           entity_name AS name, lower(entity_name) AS ename
+    FROM men)
+SELECT n.uuid, n.name, n.group_id,
+       concat('Entity', CASE WHEN l.tl IS NULL THEN ''
+                             ELSE concat(',', array_to_string(l.tl, ',')) END) AS labels,
+       l.tl[1] AS entity_type,
+       CASE WHEN l.tl[1] = 'Person'
+            THEN (string_split_regex(trim(n.name), '\\s+'))[1] END AS first_name,
+       CASE WHEN l.tl[1] = 'Person'
+            THEN CASE WHEN len(string_split_regex(trim(n.name), '\\s+')) > 1
+                      THEN (string_split_regex(trim(n.name), '\\s+'))[-1]
+                      ELSE '' END END AS last_name
+FROM n LEFT JOIN lab l ON l.group_id = n.group_id AND l.ename = n.ename"""
+
+# Typed edges (edge_type_map routing, edge_operations.py:274-301 +
+# 444-462): the query uses a map WITHOUT (Person, City) so both
+# branches are exercised — LIVES_IN keeps its extracted name while
+# EMPLOYMENT / LEADERSHIP / SENTIMENT rename.
+KG_TYPED_EDGES = f"""WITH {kg_triples_ctes()},
+  votes AS ({_VOTES}),
+  lab AS (
+    SELECT group_id, ename, list_sort(list(DISTINCT label)) AS tl
+    FROM votes GROUP BY 1, 2),
+  base AS ({{kg_edges}}),
+  j AS (
+    SELECT b.*,
+           coalesce(ls.tl, []) AS sl, coalesce(lt.tl, []) AS tl,
+           CASE b.pred WHEN 'WORKS_AT' THEN 'EMPLOYMENT'
+                       WHEN 'CEO_OF' THEN 'LEADERSHIP'
+                       WHEN 'LIVES_IN' THEN 'RESIDENCE'
+                       WHEN 'LIKES' THEN 'SENTIMENT'
+                       WHEN 'DISLIKES' THEN 'SENTIMENT' END AS ft
+    FROM base b
+    LEFT JOIN lab ls ON ls.group_id = b.group_id AND ls.ename = lower(b.subj_name)
+    LEFT JOIN lab lt ON lt.group_id = b.group_id AND lt.ename = lower(b.obj_name))
+SELECT uuid, group_id, subj_name,
+       CASE WHEN matched THEN ft ELSE pred END AS name,
+       obj_name, valid_at, invalid_at,
+       CASE WHEN matched THEN ft END AS fact_type
+FROM (
+  SELECT *,
+    ((list_contains(sl, 'Person') AND list_contains(tl, 'Organization')
+        AND ft IN ('EMPLOYMENT', 'LEADERSHIP'))
+     OR (list_contains(sl, 'Person') AND list_contains(tl, 'Person')
+        AND ft IN ('SENTIMENT'))) AND ft IS NOT NULL AS matched
+  FROM j)"""
+# splice the full KG_EDGES query in as the `base` CTE body (nested WITH
+# is legal in DuckDB; its inner CTEs shadow the identical outer ones)
+KG_TYPED_EDGES = KG_TYPED_EDGES.format(kg_edges=KG_EDGES)
+
+
 # §3.2 step 9: resolve-vs-EXISTING-graph (graphiti.py:722-781 +
 # node_operations.py:176-290). Batch A = even turns materializes its
 # canonical nodes; batch B = odd turns dedupes within itself, then every

@@ -1,0 +1,91 @@
+"""Typed entities/edges + exclusion (reference entity_types /
+edge_type_map semantics; tests/test_entity_exclusion_int.py analog)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from graphiti_spark.operators import ontology as ont
+from graphiti_spark.plans import pipeline as pl
+
+TS = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _tdf(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "ts"])
+    pdf["tool"] = ""
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(
+        pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]], schema=TS
+    )
+
+
+@pytest.fixture(scope="module")
+def typed_tables(spark):
+    t = _tdf(
+        spark,
+        [
+            ("c1", 0, "user", "Alice works at Acme.", "2025-01-01 00:00:00"),
+            ("c1", 1, "user", "Alice moved to Paris.", "2025-01-01 00:01:00"),
+            ("c1", 2, "user", "Bob is the CEO of Globex.", "2025-01-01 00:02:00"),
+            ("c1", 3, "user", "Alice likes Bob.", "2025-01-01 00:03:00"),
+        ],
+    )
+    tables = pl.build_graph(t, with_embeddings=False)
+    nodes = ont.classify_nodes(tables["nodes"], tables["edges"])
+    return {**tables, "nodes": nodes}
+
+
+def test_validation_rejects_protected_shadow():
+    with pytest.raises(ont.EntityTypeValidationError):
+        ont.validate_entity_types({"Person": ["uuid"]})
+    with pytest.raises(ont.EntityTypeValidationError):
+        ont.validate_edge_types({"EMPLOYMENT": ["fact"]})
+    ont.validate_entity_types({"Person": ["first_name"]})  # fine
+
+
+def test_classify_nodes_labels_and_attributes(typed_tables):
+    n = typed_tables["nodes"].toPandas().set_index("name")
+    assert list(n.loc["Alice", "labels"]) == ["Entity", "Person"]
+    assert list(n.loc["Acme", "labels"]) == ["Entity", "Organization"]
+    assert list(n.loc["Paris", "labels"]) == ["Entity", "City"]
+    # Bob is both subject (CEO_OF → Person) and object of LIKES → Person
+    assert list(n.loc["Bob", "labels"]) == ["Entity", "Person"]
+    # untyped mention (speaker role) keeps bare Entity
+    assert list(n.loc["user", "labels"]) == ["Entity"]
+    attrs = n.loc["Alice", "attributes"]
+    assert attrs["entity_type"] == "Person"
+    assert attrs["first_name"] == "Alice" and attrs["last_name"] == ""
+
+
+def test_type_edges_rename_and_routing(typed_tables):
+    typed = ont.type_edges(typed_tables["edges"], typed_tables["nodes"]).toPandas()
+    by_fact = typed.set_index("fact")["name"].to_dict()
+    assert by_fact["Alice works at Acme"] == "EMPLOYMENT"
+    assert by_fact["Bob is the CEO of Globex"] == "LEADERSHIP"
+    assert by_fact["Alice lives in Paris"] == "RESIDENCE"
+    assert by_fact["Alice likes Bob"] == "SENTIMENT"
+    emp = typed[typed["name"] == "EMPLOYMENT"].iloc[0]
+    assert emp["attributes"]["fact_type"] == "EMPLOYMENT"
+    assert emp["attributes"]["predicate"] == "WORKS_AT"
+
+    # a map without (Person, City) leaves RESIDENCE unrenamed
+    partial = ont.type_edges(
+        typed_tables["edges"],
+        typed_tables["nodes"],
+        edge_type_map={("Person", "Organization"): ["EMPLOYMENT", "LEADERSHIP"]},
+    ).toPandas()
+    assert partial.set_index("fact")["name"]["Alice lives in Paris"] == "LIVES_IN"
+
+
+def test_excluded_entity_types(typed_tables):
+    out = ont.exclude_nodes(typed_tables, ["Organization"])
+    names = set(out["nodes"].toPandas()["name"])
+    assert "Acme" not in names and "Globex" not in names
+    assert "Alice" in names and "Paris" in names
+    preds = set(out["edges"].toPandas()["name"])
+    # edges touching excluded orgs dropped; others survive
+    assert "WORKS_AT" not in preds and "CEO_OF" not in preds
+    assert {"LIVES_IN", "LIKES"} <= preds
