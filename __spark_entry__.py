@@ -270,6 +270,57 @@ def q_kg_mentions_rerank(spark, sf_dir):
     )
 
 
+def q_kg_mentions_mixed(spark, sf_dir):
+    """E1 over a mixed message/text/json corpus — per-source prompt
+    family dispatch (prompts/extract_nodes.py:82,131,163)."""
+    em = tr.mixed_episodes_from_events(spark, sf_dir)
+    return ex.extract_mentions_mixed(em)
+
+
+def q_kg_triples_mixed(spark, sf_dir):
+    """E3 over the mixed corpus (json WORKS_AT documents included)."""
+    em = tr.mixed_episodes_from_events(spark, sf_dir)
+    return ex.extract_triples_mixed(em)
+
+
+def q_kg_edges_rerank(spark, sf_dir):
+    """A3: edge reranker by provenance count (search/search.py:272-280)."""
+    tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
+    return srch.edge_provenance_rerank(tables["edges"], limit=50).select(
+        "uuid", "group_id", "score"
+    )
+
+
+def q_kg_bfs_episodic(spark, sf_dir):
+    """G7 full parity: BFS from episodic origins over MENTIONS then
+    RELATES_TO (search_utils.py:269,413)."""
+    eps = _eps(spark, sf_dir)
+    men = ex.extract_mentions(eps)
+    tri = ex.extract_triples(eps)
+    mention_arcs = men.select(
+        F.col("episode_uuid").alias("source_node_uuid"),
+        F.concat_ws("|", "group_id", "entity_name").alias("target_node_uuid"),
+    )
+    entity_arcs = tri.select(
+        F.concat_ws("|", "group_id", "subj_name").alias("source_node_uuid"),
+        F.concat_ws("|", "group_id", "obj_name").alias("target_node_uuid"),
+    )
+    origins = eps.groupBy("group_id").agg(F.min("uuid").alias("uuid")).select("uuid")
+    visited = srch.bfs_neighborhood_episodic(
+        entity_arcs, mention_arcs, origins, max_depth=2
+    )
+    return visited.select("uuid", F.col("depth").cast("bigint").alias("depth"))
+
+
+def q_kg_context(spark, sf_dir):
+    """F10: per-group LLM context string (search_helpers.py:28-73)."""
+    eps = _eps(spark, sf_dir)
+    men = ex.mentions_with_entity_uuid(ex.extract_mentions(eps))
+    nodes = attr.node_summaries(men, eps)
+    tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
+    return srch.search_context(tables["edges"], nodes, eps)
+
+
 # rows-only KG ops (iterative / non-SQL-expressible)
 
 def q_kg_uuid_map_alias(spark, sf_dir):
@@ -469,9 +520,12 @@ def q_simhash_documents(spark, sf_dir):
 
 
 def q_jaccard_pairs_documents(spark, sf_dir):
-    return ddp.jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.5).select(
-        "src", "dst", F.round("jaccard", 4).alias("jaccard")
-    )
+    # max_df exercises the posting-frequency cap; 100k is above any
+    # token's df at test scales so the oracle's exact Jaccard still
+    # matches (at production scale pick ~0.5% of corpus size).
+    return ddp.jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.5, max_df=100_000
+    ).select("src", "dst", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_lang_id_documents(spark, sf_dir):
@@ -605,6 +659,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": q_kg_bfs,
         "kg_node_distance": q_kg_node_distance,
         "kg_mentions_rerank": q_kg_mentions_rerank,
+        "kg_mentions_mixed": q_kg_mentions_mixed,
+        "kg_triples_mixed": q_kg_triples_mixed,
+        "kg_edges_rerank": q_kg_edges_rerank,
+        "kg_bfs_episodic": q_kg_bfs_episodic,
+        "kg_context": q_kg_context,
         "kg_uuid_map_alias": q_kg_uuid_map_alias,
         "kg_communities": q_kg_communities,
         "kg_search_hybrid": q_kg_search_hybrid,
@@ -663,6 +722,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs": oracle.KG_BFS,
         "kg_node_distance": oracle.KG_NODE_DISTANCE,
         "kg_mentions_rerank": oracle.KG_MENTIONS_RERANK,
+        "kg_mentions_mixed": oracle.KG_MENTIONS_MIXED,
+        "kg_triples_mixed": oracle.KG_TRIPLES_MIXED,
+        "kg_edges_rerank": oracle.KG_EDGES_RERANK,
+        "kg_bfs_episodic": oracle.KG_BFS_EPISODIC,
+        "kg_context": oracle.KG_CONTEXT,
         "topk_events_per_user": oracle.TOPK_EVENTS_PER_USER,
         "window_running_value": oracle.WINDOW_RUNNING_VALUE,
         "agg_lineitem_pricing": oracle.AGG_LINEITEM_PRICING,

@@ -73,6 +73,28 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def sim_bands_multi(col: Column, n_bits: int = 4, n_bands: int = 8) -> Column:
+    """OR-amplified random-hyperplane LSH: `n_bands` band keys, band j
+    reading sign bits from dims [j*n_bits, (j+1)*n_bits). Two vectors
+    collide when ANY band key matches (explode + equi-join), so pair
+    recall is 1-(1-p^n_bits)^n_bands for per-bit agreement p = 1-θ/π —
+    the banding trick MinHash-LSH uses, applied to sign bits. Candidate
+    volume per band is Σ bucket² with 2^n_bits buckets; scale n_bits
+    with log(corpus) to keep buckets bounded. Returns array<string>
+    of 'band:bucket' keys; requires n_bits*n_bands ≤ dim."""
+    bands = []
+    for j in range(n_bands):
+        def bit(i: int, base: int = j * n_bits):
+            return F.when(
+                F.element_at(col, base + i + 1) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        expr = bit(0)
+        for i in range(1, n_bits):
+            expr = expr + bit(i)
+        bands.append(F.concat_ws(":", F.lit(str(j)), expr.cast("string")))
+    return F.array(*bands)
+
+
 def sim_bands(col: Column, n_bits: int = 8) -> Column:
     """Random-hyperplane sign bucket for LSH blocking of cosine joins:
     vectors with cosine ≥ ~0.8 mostly agree on leading-dimension signs.

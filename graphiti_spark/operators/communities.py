@@ -115,6 +115,91 @@ def build_communities(
     return communities.drop("member_uuids"), membership
 
 
+def update_communities(
+    communities: DataFrame,
+    membership: DataFrame,
+    edges: DataFrame,
+    new_nodes: DataFrame,
+    run_ts: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental G6: `update_community` on ingest
+    (community_operations.py:287-311) — no full rebuild.
+
+    For every node in `new_nodes(uuid, name, summary, group_id)` not
+    already a member, join the plurality community among its RELATES_TO
+    neighbors (ties broken by larger community uuid, matching the LPA
+    tie rule); nodes with no communal neighbor are left alone (the
+    reference returns ([], []) in that case). Touched communities get
+    the deterministic pairwise-summarize update (summarize_pair analog:
+    new members' summaries folded in sorted order ahead of the old
+    summary, 250-char truncate) and a regenerated '<first> & co' name.
+
+    All set-at-once dataflow: one neighbor join + one window argmax +
+    one membership union + one community-row merge — the batch analog
+    of the reference's per-entity loop."""
+    mem = membership.select(
+        F.col("target_node_uuid").alias("entity_uuid"),
+        F.col("source_node_uuid").alias("community_uuid"),
+    )
+    cand = new_nodes.select("uuid", "name", "summary", "group_id").join(
+        mem.select(F.col("entity_uuid").alias("uuid")).distinct(), "uuid", "left_anti"
+    )
+    und = edges.select(
+        F.col("source_node_uuid").alias("node"), F.col("target_node_uuid").alias("nbr")
+    ).union(
+        edges.select(
+            F.col("target_node_uuid").alias("node"), F.col("source_node_uuid").alias("nbr")
+        )
+    )
+    votes = (
+        cand.join(und, cand.uuid == und.node)
+        .join(mem, und.nbr == mem.entity_uuid)
+        .groupBy("uuid", "name", "summary", "group_id", "community_uuid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("uuid").orderBy(F.desc("n"), F.desc("community_uuid"))
+    winners = (
+        votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn", "n")
+    )
+    new_membership = winners.select(
+        ids._md5_concat(
+            F.lit("cmm"), F.col("group_id"), F.col("community_uuid"), F.col("uuid")
+        ).alias("uuid"),
+        F.col("community_uuid").alias("source_node_uuid"),
+        F.col("uuid").alias("target_node_uuid"),
+        "group_id",
+        F.lit(run_ts).cast("timestamp").alias("created_at"),
+    )
+    joined = winners.groupBy("community_uuid").agg(
+        F.concat_ws("; ", F.sort_array(F.collect_set(F.coalesce("summary", "name")))).alias(
+            "new_member_summary"
+        )
+    )
+    updated = (
+        communities.join(
+            joined.withColumnRenamed("community_uuid", "uuid"), "uuid", "left"
+        )
+        .withColumn(
+            "summary",
+            F.when(
+                F.col("new_member_summary").isNotNull(),
+                F.substring(
+                    F.concat_ws("; ", "new_member_summary", "summary"), 1, 250
+                ),
+            ).otherwise(F.col("summary")),
+        )
+        .withColumn(
+            "name",
+            F.when(
+                F.col("new_member_summary").isNotNull(),
+                F.concat(F.split_part(F.col("summary"), F.lit("; "), F.lit(1)), F.lit(" & co")),
+            ).otherwise(F.col("name")),
+        )
+        .drop("new_member_summary")
+    )
+    return updated, membership.unionByName(new_membership)
+
+
 def determine_entity_community(
     node_uuid: str, membership: DataFrame, edges: DataFrame
 ) -> DataFrame:

@@ -72,22 +72,33 @@ def lsh_bucket_topk(
     queries: DataFrame,
     index: DataFrame,
     k: int = 10,
-    n_bits: int = 8,
+    n_bits: int = 4,
+    n_bands: int = 12,
     query_id: str = "qid",
     index_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: sign-band bucket equi-join instead of a cross
-    join — the 100 TB path (bucket count 2^n_bits bounds each probe's
-    candidate set to ~n/2^n_bits). Recall < 1 by design; raise recall
-    with multi-probe (flip one bit) — here single-probe."""
+    """Approximate top-k: OR-amplified sign-band bucket equi-join
+    instead of a cross join — the 100 TB path. Each vector gets
+    `n_bands` band keys of `n_bits` sign bits (functions.embeddings.
+    sim_bands_multi); a probe meets an index vector when ANY band key
+    matches, so per-probe candidates ≈ n_bands·n/2^n_bits and recall is
+    1-(1-p^n_bits)^n_bands per neighbor — measured against the exact
+    top-k by the pytest gate. Scale n_bits with log(corpus) to keep
+    buckets bounded; candidate pairs are deduped before the per-probe
+    window top-k."""
     qn = queries.select(
         F.col(query_id), emb.normalize_l2(F.col(vec_col).cast("array<double>")).alias("qv")
-    ).withColumn("bucket", emb.sim_bands(F.col("qv"), n_bits))
+    ).withColumn("bucket", F.explode(emb.sim_bands_multi(F.col("qv"), n_bits, n_bands)))
     iv = index.select(
         F.col(index_id), emb.normalize_l2(F.col(vec_col).cast("array<double>")).alias("iv")
-    ).withColumn("bucket", emb.sim_bands(F.col("iv"), n_bits))
-    joined = iv.join(F.broadcast(qn), "bucket").withColumn("score", emb.dot("qv", "iv"))
+    ).withColumn("bucket", F.explode(emb.sim_bands_multi(F.col("iv"), n_bits, n_bands)))
+    joined = (
+        iv.join(F.broadcast(qn), "bucket")
+        .select(query_id, index_id, "qv", "iv")
+        .dropDuplicates([query_id, index_id])
+        .withColumn("score", emb.dot("qv", "iv"))
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(index_id))
     return (
         joined.withColumn("rn", F.row_number().over(w))

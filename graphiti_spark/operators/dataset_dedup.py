@@ -159,17 +159,22 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     exact: bool = True,
-    n_band_bits: int = 8,
+    n_band_bits: int = 4,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (src, dst, cos) with src < dst,
     cos ≥ threshold, over an array<float> column.
 
     `exact=True` is the brute-force baseline (self-join on nothing but
-    id ordering — correct, quadratic; use on bounded candidate sets).
-    `exact=False` is the scale path: block on a random-hyperplane sign
-    band (SimHash-for-vectors) so only same-band pairs are scored —
-    high-cosine pairs collide with high probability and the pair space
-    drops from O(n²) to O(Σ bucket²)."""
+    id ordering — correct, quadratic; use on bounded candidate sets;
+    the default here ONLY because it is the oracle-checkable baseline —
+    `exact=False` is the documented default at scale).
+    `exact=False` is the 100 TB path: OR-amplified sign-band LSH
+    (`n_bands` band keys of `n_band_bits` sign bits each; explode +
+    band equi-join, score only colliding pairs). Pair space drops from
+    O(n²) to O(n_bands · Σ bucket²); recall 1-(1-p^bits)^bands is
+    measured by the pytest gate (test_dataset_ops) and reported in
+    BENCH.md."""
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -179,7 +184,10 @@ def embedding_dup_pairs(
     if not exact:
         from graphiti_spark.functions import embeddings as emb
 
-        v = v.withColumn("band", emb.sim_bands(F.col("v"), n_bits=n_band_bits))
+        v = v.withColumn(
+            "band",
+            F.explode(emb.sim_bands_multi(F.col("v"), n_bits=n_band_bits, n_bands=n_bands)),
+        )
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if not exact:
@@ -187,12 +195,15 @@ def embedding_dup_pairs(
     cos = F.aggregate(
         F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     ) / F.greatest(F.col("a.norm") * F.col("b.norm"), F.lit(1e-12))
-    return (
+    out = (
         a.join(b, cond)
         .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"), "cos")
     )
+    # a pair colliding in several bands appears once per band; rows are
+    # bit-identical (deterministic cos), so distinct() folds them
+    return out.distinct() if not exact else out
 
 
 def jaccard_pairs(
@@ -200,14 +211,34 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard near-dup: shared-token blocking join, then
     |∩| / |∪| from per-doc set sizes + pair intersection counts.
     (The word-overlap analog the reference itself uses for blocking,
-    bulk_utils.py:226-243.)"""
+    bulk_utils.py:226-243.)
+
+    `max_df` is the document-frequency cap on the posting join: tokens
+    shared by more than `max_df` docs are dropped from the JOIN (not
+    from the per-doc set sizes). Without it, one stop-word token shared
+    by 10⁶ docs makes a 10¹² pair block — with it the pair space per
+    token is ≤ max_df², so a Zipf corpus is safe. Capped intersection
+    counts are a lower bound, so scores only shrink: recall over pairs
+    whose overlap is carried by sub-cap tokens is exact, and a genuine
+    near-dup pair above `threshold` always shares rare tokens unless
+    the docs are made ENTIRELY of dropped stop-words. One extra
+    aggregate + a left-semi join on the same `tok` shuffle key."""
     toks = df.select(F.col(id_col).alias("id"), tx.tokens(F.col(text_col)).alias("toks"))
     sizes = toks.select("id", F.size("toks").alias("n"))
     posting = toks.select("id", F.explode("toks").alias("tok"))
+    if max_df is not None:
+        keep = (
+            posting.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("tok")
+        )
+        posting = posting.join(keep, "tok", "left_semi")
     inter = (
         posting.alias("a")
         .join(posting.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))

@@ -67,7 +67,9 @@ def candidate_pairs(
             F.col("a.toks").alias("src_toks"),
             F.col("b.toks").alias("dst_toks"),
         )
-        .dropDuplicates(["group_id", "src", "dst"])
+        .distinct()  # rows are identical per (group,src,dst) — distinct()
+        # stays in HashAggregate; dropDuplicates(subset) would first()
+        # the string columns and fall back to SortAggregate
     )
     if use_embedding_block:
         e = base.withColumn("embedding", emb.embed_udf(F.col("name"))).withColumn(
@@ -92,7 +94,7 @@ def candidate_pairs(
                 F.col("b.toks").alias("dst_toks"),
             )
         )
-        pairs = pairs.unionByName(epairs).dropDuplicates(["group_id", "src", "dst"])
+        pairs = pairs.unionByName(epairs).distinct()
     return pairs
 
 
@@ -173,6 +175,8 @@ def canonical_nodes(
 
     Canonical node name = the name of the lexicographically-smallest raw
     uuid (deterministic arg-min, SURVEY §4 determinism note)."""
+    from pyspark.sql import Window
+
     mapped = (
         entities.join(
             uuid_map.select(
@@ -183,12 +187,15 @@ def canonical_nodes(
         )
         .withColumn("uuid", F.coalesce("canonical_uuid", "entity_uuid"))
     )
+    # window + rn=1 instead of groupBy(min_by(string)): string agg
+    # buffers force the SortAggregate fallback (see resolve_edges note)
+    wn = Window.partitionBy("group_id", "uuid").orderBy("entity_uuid")
+    wnf = Window.partitionBy("group_id", "uuid")
     nodes = (
-        mapped.groupBy("group_id", "uuid")
-        .agg(
-            F.min_by("entity_name", "entity_uuid").alias("name"),
-            F.sort_array(F.collect_set("entity_name")).alias("alias_names"),
-        )
+        mapped.withColumn("rn", F.row_number().over(wn))
+        .withColumn("alias_names", F.sort_array(F.collect_set("entity_name").over(wnf)))
+        .filter(F.col("rn") == 1)
+        .withColumn("name", F.col("entity_name"))
         .select(
             "uuid",
             "name",

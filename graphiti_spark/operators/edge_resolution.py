@@ -120,31 +120,54 @@ def resolve_edges(
         F.col("invalid_at").isNotNull() & F.col("valid_at").isNull()
     )
 
-    # -- 2. dedupe identical directed facts: first-win with explicit order
+    # -- 2. dedupe identical directed facts: first-win with explicit order.
+    # PHYSICAL NOTE: expressed as window + rn=1 filter, NOT
+    # groupBy(min_by(string)) — string-valued aggregation buffers force
+    # Spark's SortAggregate fallback (HashAggregate needs fixed-width
+    # buffers), which re-sorts the whole exchange; the ordered window
+    # needs the same single sort and the frame aggregates piggyback on
+    # it (measured via event-log profile, BENCH.md r2).
     w = Window.partitionBy(*key).orderBy(
         F.col("valid_at").asc_nulls_last(), F.col("episode_uuid").asc()
     )
+    wf = Window.partitionBy(*key)  # full-partition frame, same clustering
     merged = (
         asserted.withColumn("rn", F.row_number().over(w))
-        .groupBy(*key)
-        .agg(
-            F.min_by("edge_uuid", "rn").alias("uuid"),
-            F.min_by("fact", "rn").alias("fact"),
-            F.min("valid_at").alias("valid_at"),
-            F.sort_array(F.collect_set("episode_uuid")).alias("episodes"),
-            F.min_by("subj_name", "rn").alias("subj_name"),
-            F.min_by("obj_name", "rn").alias("obj_name"),
+        .withColumn("episodes", F.sort_array(F.collect_set("episode_uuid").over(wf)))
+        .withColumn("min_valid", F.min("valid_at").over(wf))
+        .filter(F.col("rn") == 1)
+        .select(
+            *key,
+            F.col("edge_uuid").alias("uuid"),
+            "fact",
+            F.col("min_valid").alias("valid_at"),
+            "episodes",
+            "subj_name",
+            "obj_name",
         )
     )
 
     # -- 3a. termination statements: min invalid_at later than valid_at
-    term_agg = terminations.groupBy(*key).agg(
-        F.sort_array(F.collect_list("invalid_at")).alias("term_times"),
-        F.sort_array(F.collect_set("episode_uuid")).alias("term_episodes"),
-        F.min_by("edge_uuid", "edge_uuid").alias("term_uuid"),
-        F.min_by("fact", "edge_uuid").alias("term_fact"),
+    wt = Window.partitionBy(*key).orderBy(F.col("edge_uuid").asc())
+    wtf = Window.partitionBy(*key)
+    term_agg = (
+        terminations.withColumn("rn", F.row_number().over(wt))
+        .withColumn("term_times", F.sort_array(F.collect_list("invalid_at").over(wtf)))
+        .withColumn("term_episodes", F.sort_array(F.collect_set("episode_uuid").over(wtf)))
+        .filter(F.col("rn") == 1)
+        .select(
+            *key,
+            "term_times",
+            "term_episodes",
+            F.col("edge_uuid").alias("term_uuid"),
+            F.col("fact").alias("term_fact"),
+            F.col("subj_name").alias("term_subj_name"),
+            F.col("obj_name").alias("term_obj_name"),
+        )
     )
-    with_term = merged.join(term_agg, key, "left").withColumn(
+    with_term = merged.join(
+        term_agg.drop("term_subj_name", "term_obj_name"), key, "left"
+    ).withColumn(
         "term_invalid_at",
         F.array_min(F.filter(F.col("term_times"), lambda t: t > F.col("valid_at"))),
     )
@@ -171,7 +194,8 @@ def resolve_edges(
     )
 
     # -- termination statements are edges too (fact with invalid_at set,
-    #    valid_at NULL — they expire immediately per T3)
+    #    valid_at NULL — they expire immediately per T3); display names
+    #    ride along from the rn=1 row (no extra aggregate or join)
     term_edges = term_agg.select(
         *key,
         F.col("term_uuid").alias("uuid"),
@@ -179,16 +203,9 @@ def resolve_edges(
         F.lit(None).cast("timestamp").alias("valid_at"),
         F.col("term_episodes").alias("episodes"),
         F.element_at("term_times", 1).alias("invalid_at"),
+        F.col("term_subj_name").alias("subj_name"),
+        F.col("term_obj_name").alias("obj_name"),
     )
-    # recover display names for termination-only triples
-    term_names = (
-        terminations.groupBy(*key)
-        .agg(
-            F.min_by("subj_name", "edge_uuid").alias("subj_name"),
-            F.min_by("obj_name", "edge_uuid").alias("obj_name"),
-        )
-    )
-    term_edges = term_edges.join(term_names, key, "left")
 
     all_edges = resolved.select(
         *key, "uuid", "fact", "valid_at", "episodes", "invalid_at", "subj_name", "obj_name"

@@ -76,6 +76,56 @@ def extract_mentions(
     return src.mapInPandas(run, schema=MENTIONS_SCHEMA)
 
 
+def extract_triples_mixed(episodes: DataFrame) -> DataFrame:
+    """E3 across episode types: per-source extractor dispatch mirroring
+    the reference's three prompt families (prompts/extract_nodes.py:
+    82 message, 163 text, 131 json; edge prompts share the episode
+    content the same way). Input episodes carry (uuid, group_id,
+    source, role, text, valid_at) — `text` is the raw utterance for
+    message/text and the JSON document string for json episodes. One
+    mapInPandas; the dispatch is a pandas mask inside the batch, so
+    mixed corpora stay a single scan with no per-source shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src = pdf["source"].fillna("message")
+            base = pdf[["uuid", "group_id", "text", "valid_at"]]
+            parts = [
+                rules.extract_triples_pdf(base[src != "json"]),
+                rules.extract_triples_pdf(
+                    base[src == "json"], rule_set=rules.JSON_TRIPLE_RULES
+                ),
+            ]
+            yield pd.concat(parts, ignore_index=True)
+
+    src = episodes.select("uuid", "group_id", "source", "text", "valid_at")
+    return src.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+def extract_mentions_mixed(episodes: DataFrame) -> DataFrame:
+    """E1 across episode types. `message` episodes extract the speaker
+    first (role column); `text`/`json` episodes have role='' so the
+    speaker branch never fires (extract_text/extract_json prompts have
+    no speaker rule)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src = pdf["source"].fillna("message")
+            base = pdf[["uuid", "group_id", "role", "text"]]
+            parts = [
+                rules.extract_mentions_pdf(base[src != "json"]),
+                rules.extract_mentions_pdf(
+                    base[src == "json"], rule_set=rules.JSON_RULES
+                ),
+            ]
+            out = pd.concat(parts, ignore_index=True)
+            out["mention_order"] = out["mention_order"].astype("int64")
+            yield out
+
+    src = episodes.select("uuid", "group_id", "source", "role", "text")
+    return src.mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
 def mentions_with_entity_uuid(mentions: DataFrame) -> DataFrame:
     """Attach the candidate (pre-canonicalization) entity uuid —
     content-derived, so within-batch exact-name dedupe is free."""

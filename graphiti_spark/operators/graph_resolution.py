@@ -70,9 +70,11 @@ def match_existing(
     )
     p = probe.withColumn("tok", F.explode("raw_toks"))
     x = ex.withColumn("tok", F.explode("ex_toks"))
-    cand = p.join(x, ["group_id", "tok"]).dropDuplicates(
-        ["group_id", "raw_uuid", "existing_uuid"]
-    )
+    # drop the join key then distinct(): remaining columns are identical
+    # per (group, raw, existing) pair, and distinct() stays in
+    # HashAggregate (dropDuplicates(subset) falls back to SortAggregate
+    # on first(string) buffers)
+    cand = p.join(x, ["group_id", "tok"]).drop("tok").distinct()
     if use_embedding_block:
         pe = probe.withColumn("embedding", emb.embed_udf(F.col("raw_name"))).withColumn(
             "band", emb.sim_bands(F.col("embedding"))
@@ -88,11 +90,7 @@ def match_existing(
                 "existing_uuid", "ex_name", "ex_toks",
             )
         )
-        cand = (
-            cand.select(ecand.columns)
-            .unionByName(ecand)
-            .dropDuplicates(["group_id", "raw_uuid", "existing_uuid"])
-        )
+        cand = cand.select(ecand.columns).unionByName(ecand).distinct()
     exact = F.lower(F.col("raw_name")) == F.lower(F.col("ex_name"))
     first_tok_eq = F.element_at("raw_toks", 1) == F.element_at("ex_toks", 1)
     subset = (F.size(F.array_except("raw_toks", "ex_toks")) == 0) | (

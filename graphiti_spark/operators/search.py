@@ -288,6 +288,60 @@ def node_distance_rerank(
     )
 
 
+def edge_provenance_rerank(edges: DataFrame, limit: int | None = None) -> DataFrame:
+    """A3: edge reranker by provenance count — the reference's
+    episode_mentions reranker for EDGES sorts candidates by
+    len(edge.episodes) descending (search/search.py:272-280). One
+    column expression, TakeOrderedAndProject when limited."""
+    out = edges.withColumn(
+        "score", F.size(F.col("episodes")).cast("double")
+    ).orderBy(F.desc("score"), F.asc("uuid"))
+    return out.limit(limit) if limit else out
+
+
+def bfs_neighborhood_episodic(
+    entity_edges: DataFrame,
+    mentions: DataFrame,
+    origin_episodes: DataFrame,
+    max_depth: int = MAX_SEARCH_DEPTH,
+) -> DataFrame:
+    """G7 full parity: BFS whose frontier starts at EPISODIC nodes and
+    walks MENTIONS (episode→entity) as well as RELATES_TO
+    (entity↔entity) edges — the reference's bfs query matches
+    `[:RELATES_TO|MENTIONS]` from episodic origins
+    (search_utils.py:269,413). MENTIONS arcs are directed
+    episode→entity; RELATES_TO arcs are walked both ways, matching the
+    undirected entity expansion of bfs_neighborhood."""
+    men = mentions.select(
+        F.col("source_node_uuid").alias("a"), F.col("target_node_uuid").alias("b")
+    )
+    rel = (
+        entity_edges.select(
+            F.col("source_node_uuid").alias("a"), F.col("target_node_uuid").alias("b")
+        )
+        .union(
+            entity_edges.select(
+                F.col("target_node_uuid").alias("a"), F.col("source_node_uuid").alias("b")
+            )
+        )
+    )
+    adj = men.union(rel).distinct()
+    frontier = origin_episodes.select(F.col("uuid")).distinct()
+    visited = frontier.withColumn("depth", F.lit(0))
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            adj.join(frontier, adj.a == frontier.uuid)
+            .select(F.col("b").alias("uuid"))
+            .distinct()
+            .join(visited.select("uuid"), "uuid", "left_anti")
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt.withColumn("depth", F.lit(depth))).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def episode_mentions_rerank(candidates: DataFrame, mentions: DataFrame, id_col: str = "uuid") -> DataFrame:
     """R5/A2: candidates scored by MENTIONS count (search_utils.py:937-963)."""
     counts = mentions.groupBy(F.col("target_node_uuid").alias(id_col)).agg(
@@ -298,6 +352,119 @@ def episode_mentions_rerank(candidates: DataFrame, mentions: DataFrame, id_col: 
         .withColumn("score", F.coalesce(F.col("score").cast("double"), F.lit(0.0)))
         .select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
+    )
+
+
+# --- F10 context rendering (search/search_helpers.py:28-73) -----------------
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _json_item(pairs: list[tuple[str, "F.Column"]]) -> "F.Column":
+    """Render {"k": "v", ...} with fixed key order — the deterministic
+    single-line analog of the reference's json.dumps(fact_json)."""
+    parts: list[F.Column] = [F.lit("{")]
+    for i, (k, v) in enumerate(pairs):
+        if i:
+            parts.append(F.lit(", "))
+        parts.append(F.lit(f'"{k}": "'))
+        parts.append(v)
+        parts.append(F.lit('"'))
+    parts.append(F.lit("}"))
+    return F.concat(*parts)
+
+
+def _section(df: DataFrame | None, item: "F.Column", group_col: str) -> DataFrame | None:
+    if df is None:
+        return None
+    return (
+        df.select(F.col(group_col), item.alias("item"))
+        .groupBy(group_col)
+        .agg(F.concat_ws(", ", F.sort_array(F.collect_list("item"))).alias("items"))
+    )
+
+
+def search_context(
+    edges: DataFrame | None,
+    nodes: DataFrame | None,
+    episodes: DataFrame | None = None,
+    communities: DataFrame | None = None,
+    group_col: str = "group_id",
+) -> DataFrame:
+    """F10: search_results_to_context_string
+    (search/search_helpers.py:28-73) — per group, the LLM-ready context
+    string with <FACTS>/<ENTITIES>/<EPISODES>/<COMMUNITIES> sections.
+    Field contract matches the reference exactly (fact + valid_at with
+    'None' for null, invalid_at defaulting to 'Present'; entity_name +
+    summary; source_description + content; community name + summary);
+    items are single-line JSON objects sorted lexicographically for
+    determinism (the reference's indent=12 pretty-printing is
+    presentation only). Pure column expressions + one aggregate per
+    section + broadcast-sized outer join on group."""
+    fact_sec = _section(
+        edges,
+        _json_item(
+            [
+                ("fact", F.col("fact")),
+                ("valid_at", F.coalesce(F.date_format("valid_at", _TS_FMT), F.lit("None"))),
+                (
+                    "invalid_at",
+                    F.coalesce(F.date_format("invalid_at", _TS_FMT), F.lit("Present")),
+                ),
+            ]
+        ),
+        group_col,
+    ) if edges is not None else None
+    ent_sec = _section(
+        nodes,
+        _json_item([("entity_name", F.col("name")), ("summary", F.coalesce("summary", F.lit("")))]),
+        group_col,
+    ) if nodes is not None else None
+    ep_sec = _section(
+        episodes,
+        _json_item(
+            [
+                ("source_description", F.coalesce("source_description", F.lit(""))),
+                ("content", F.col("content")),
+            ]
+        ),
+        group_col,
+    ) if episodes is not None else None
+    comm_sec = _section(
+        communities,
+        _json_item([("community_name", F.col("name")), ("summary", F.coalesce("summary", F.lit("")))]),
+        group_col,
+    ) if communities is not None else None
+
+    base = None
+    for sec, col_name in (
+        (fact_sec, "facts"),
+        (ent_sec, "entities"),
+        (ep_sec, "eps"),
+        (comm_sec, "comms"),
+    ):
+        if sec is None:
+            continue
+        sec = sec.withColumnRenamed("items", col_name)
+        base = sec if base is None else base.join(sec, group_col, "full_outer")
+    if base is None:
+        raise ValueError("search_context needs at least one input table")
+    for col_name in ("facts", "entities", "eps", "comms"):
+        if col_name not in base.columns:
+            base = base.withColumn(col_name, F.lit(""))
+    return base.select(
+        group_col,
+        F.concat(
+            F.lit("<FACTS>["),
+            F.coalesce("facts", F.lit("")),
+            F.lit("]</FACTS><ENTITIES>["),
+            F.coalesce("entities", F.lit("")),
+            F.lit("]</ENTITIES><EPISODES>["),
+            F.coalesce("eps", F.lit("")),
+            F.lit("]</EPISODES><COMMUNITIES>["),
+            F.coalesce("comms", F.lit("")),
+            F.lit("]</COMMUNITIES>"),
+        ).alias("context"),
     )
 
 

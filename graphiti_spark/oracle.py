@@ -19,7 +19,11 @@ Cross-engine dialect notes (validated):
 from __future__ import annotations
 
 from graphiti_spark import rules
-from graphiti_spark.transcripts import ALIASED_TRANSCRIPTS_SQL, TRANSCRIPTS_SQL
+from graphiti_spark.transcripts import (
+    ALIASED_TRANSCRIPTS_SQL,
+    MIXED_EPISODES_SELECT,
+    TRANSCRIPTS_SQL,
+)
 
 CTE_TRANSCRIPTS = f"transcripts AS ({TRANSCRIPTS_SQL})"
 CTE_TRANSCRIPTS_ALIAS = f"transcripts AS ({ALIASED_TRANSCRIPTS_SQL})"
@@ -84,7 +88,16 @@ SELECT group_id,
 FROM men GROUP BY 1, 2"""
 
 # Full bi-temporal edge resolution mirrored in SQL (T1-T3 + dedupe).
-KG_EDGES = f"""WITH {kg_triples_ctes()},
+# Parameterized so derived oracles (context rendering) can pull the
+# resolved `fact` through without duplicating the temporal logic.
+def kg_edges_sql(include_fact: bool = False) -> str:
+    fact_first = ", f.fact AS fact" if include_fact else ""
+    fact_term = (
+        ", arg_min(fact, md5(concat_ws('|', 'ed', group_id, episode_uuid, subj_name, pred, obj_name))) AS fact"
+        if include_fact
+        else ""
+    )
+    return f"""WITH {kg_triples_ctes()},
 asserted AS (SELECT * FROM tri WHERE valid_at IS NOT NULL),
 term AS (SELECT * FROM tri WHERE invalid_at IS NOT NULL AND valid_at IS NULL),
 ranked AS (
@@ -112,7 +125,7 @@ inv AS (
 SELECT md5(concat_ws('|', 'ed', f.group_id, f.episode_uuid, f.subj_name, f.pred, f.obj_name)) AS uuid,
        i.group_id, i.subj_name, i.pred, i.obj_name, i.valid_at,
        least(i.term_invalid_at, i.anto_invalid_at) AS invalid_at,
-       cast(i.n_episodes AS bigint) AS n_episodes
+       cast(i.n_episodes AS bigint) AS n_episodes{fact_first}
 FROM inv i
 JOIN firstrow f USING (group_id, subj_name, pred, obj_name)
 UNION ALL
@@ -120,8 +133,11 @@ SELECT min(md5(concat_ws('|', 'ed', group_id, episode_uuid, subj_name, pred, obj
        group_id, subj_name, pred, obj_name,
        cast(NULL AS timestamp) AS valid_at,
        min(invalid_at) AS invalid_at,
-       cast(count(DISTINCT episode_uuid) AS bigint) AS n_episodes
+       cast(count(DISTINCT episode_uuid) AS bigint) AS n_episodes{fact_term}
 FROM term GROUP BY group_id, subj_name, pred, obj_name"""
+
+
+KG_EDGES = kg_edges_sql()
 
 # E5: deterministic node attribute/summary hydration — per raw entity,
 # chronological digest of mention contexts, 250-word budget
@@ -585,6 +601,97 @@ r AS (
          row_number() OVER (PARTITION BY group_id ORDER BY valid_at DESC, uuid DESC) AS rn
   FROM eps WHERE valid_at <= TIMESTAMP '2024-01-15 00:00:00')
 SELECT uuid, group_id, valid_at FROM r WHERE rn <= 5"""
+
+# E1/E3 over the mixed message/text/json corpus — per-source prompt
+# family dispatch (prompts/extract_nodes.py:82,131,163) mirrored as
+# filtered UNION branches over the shared mixed-episode derivation.
+_CTE_EM = f"em AS ({MIXED_EPISODES_SELECT})"
+
+KG_MENTIONS_MIXED = f"""WITH {CTE_TRANSCRIPTS},
+{_CTE_EM},
+msgtxt AS (SELECT uuid, group_id, role, text FROM em WHERE source <> 'json'),
+jsn AS (SELECT uuid, group_id, role, text FROM em WHERE source = 'json'),
+m1 AS ({rules.mentions_select_sql(table='msgtxt')}),
+m2 AS ({rules.mentions_select_sql(table='jsn', rule_set=rules.JSON_RULES)})
+SELECT * FROM m1 UNION ALL SELECT * FROM m2"""
+
+KG_TRIPLES_MIXED = f"""WITH {CTE_TRANSCRIPTS},
+{_CTE_EM},
+msgtxt AS (SELECT uuid, group_id, text, valid_at FROM em WHERE source <> 'json'),
+jsn AS (SELECT uuid, group_id, text, valid_at FROM em WHERE source = 'json')
+{rules.triples_select_sql(table='msgtxt')}
+UNION ALL{rules.triples_select_sql(table='jsn', rule_set=rules.JSON_TRIPLE_RULES)}"""
+
+# A3: edge reranker by provenance count — len(edge.episodes) desc
+# (search/search.py:272-280).
+KG_EDGES_RERANK = f"""WITH e AS ({KG_EDGES})
+SELECT uuid, group_id, cast(n_episodes AS double) AS score
+FROM e ORDER BY score DESC, uuid LIMIT 50"""
+
+# G7 full parity: BFS from EPISODIC origins walking MENTIONS
+# (episode→entity, directed) then RELATES_TO (undirected)
+# (search_utils.py:269,413). Origin = min episode uuid per group.
+KG_BFS_EPISODIC = f"""WITH {kg_triples_ctes()},
+  men AS ({_MEN}),
+  origins AS (SELECT group_id, min(uuid) AS uuid FROM eps GROUP BY group_id),
+  d1 AS (
+    SELECT DISTINCT m.group_id, concat_ws('|', m.group_id, m.entity_name) AS uuid
+    FROM men m JOIN origins o ON m.episode_uuid = o.uuid),
+  arcs AS (
+    SELECT group_id, concat_ws('|', group_id, subj_name) AS a,
+           concat_ws('|', group_id, obj_name) AS b FROM tri
+    UNION
+    SELECT group_id, concat_ws('|', group_id, obj_name) AS a,
+           concat_ws('|', group_id, subj_name) AS b FROM tri),
+  d2 AS (
+    SELECT DISTINCT arcs.group_id, arcs.b AS uuid
+    FROM arcs JOIN d1 ON arcs.a = d1.uuid
+    WHERE NOT EXISTS (SELECT 1 FROM d1 x WHERE x.uuid = arcs.b))
+SELECT uuid, cast(0 AS bigint) AS depth FROM origins
+UNION ALL SELECT uuid, cast(1 AS bigint) FROM d1
+UNION ALL SELECT uuid, cast(2 AS bigint) FROM d2"""
+
+# F10: search_results_to_context_string (search/search_helpers.py:28-73)
+# — per-group context string; items sorted lexicographically, fields per
+# the reference contract (invalid_at NULL → 'Present', valid_at NULL →
+# 'None'). Entities use the node_summaries digest (KG_NODE_SUMMARIES).
+KG_CONTEXT = f"""WITH e AS ({kg_edges_sql(include_fact=True)}),
+ns AS ({KG_NODE_SUMMARIES}),
+{CTE_TRANSCRIPTS},
+eps2 AS (
+  SELECT conv_id AS group_id, concat(role, ': ', text) AS content,
+         CASE WHEN tool <> '' THEN concat('tool:', tool)
+              ELSE 'transcript' END AS source_description
+  FROM transcripts),
+facts AS (
+  SELECT group_id, string_agg(item, ', ' ORDER BY item) AS facts FROM (
+    SELECT group_id,
+           concat('{{"fact": "', fact, '", "valid_at": "',
+                  coalesce(strftime(valid_at, '%Y-%m-%d %H:%M:%S'), 'None'),
+                  '", "invalid_at": "',
+                  coalesce(strftime(invalid_at, '%Y-%m-%d %H:%M:%S'), 'Present'),
+                  '"}}') AS item
+    FROM e) GROUP BY group_id),
+ents AS (
+  SELECT group_id, string_agg(item, ', ' ORDER BY item) AS entities FROM (
+    SELECT group_id,
+           concat('{{"entity_name": "', name, '", "summary": "',
+                  coalesce(summary, ''), '"}}') AS item
+    FROM ns) GROUP BY group_id),
+epsx AS (
+  SELECT group_id, string_agg(item, ', ' ORDER BY item) AS eps FROM (
+    SELECT group_id,
+           concat('{{"source_description": "', source_description,
+                  '", "content": "', content, '"}}') AS item
+    FROM eps2) GROUP BY group_id)
+SELECT group_id,
+       concat('<FACTS>[', coalesce(f.facts, ''),
+              ']</FACTS><ENTITIES>[', coalesce(n.entities, ''),
+              ']</ENTITIES><EPISODES>[', coalesce(p.eps, ''),
+              ']</EPISODES><COMMUNITIES>[]</COMMUNITIES>') AS context
+FROM facts f
+FULL OUTER JOIN ents n USING (group_id)
+FULL OUTER JOIN epsx p USING (group_id)"""
 
 
 # --- relational / search oracles -------------------------------------------

@@ -109,7 +109,9 @@ def build_graph(
             "group_id",
             F.lit(run_ts).cast("timestamp").alias("created_at"),
         )
-        .dropDuplicates(["uuid"])
+        .distinct()  # rows identical per uuid (all cols derive from the
+        # uuid inputs) — distinct() stays hash-based; dropDuplicates
+        # (["uuid"]) would SortAggregate on first(string) buffers
     )
 
     # episode.entity_edges back-references (graphiti.py:517)

@@ -72,6 +72,23 @@ RULES: list[Rule] = [
 
 TRIPLE_RULES = [r for r in RULES if r.pred is not None]
 
+# --- JSON episode rules (prompts/extract_nodes.py:131-160 extract_json:
+# "extract the entities the JSON represents — often a name or user
+# field; do NOT extract date properties"). The deterministic analog
+# reads the flat key/value JSON rendered by the mixed corpus: the
+# "name" value is the represented entity, "works_at" the related one.
+# Patterns are plain regex over the JSON string so pandas, Spark and
+# DuckDB mirror bit-for-bit (no JSON-extension dependency).
+JSON_RULES: list[Rule] = [
+    Rule(
+        rf'^\{{"name": "({NAME})", "works_at": "({NAME})"\}}$',
+        "WORKS_AT",
+        ASSERT,
+        "{s} works at {o}",
+    ),
+]
+JSON_TRIPLE_RULES = [r for r in JSON_RULES if r.pred is not None]
+
 # Antonym predicate pairs → contradiction on same (subj, obj)
 # (deterministic analog of prompts/invalidate_edges.py:73-95).
 ANTONYMS: dict[str, str] = {"LIKES": "DISLIKES", "DISLIKES": "LIKES"}
@@ -84,106 +101,151 @@ _COMPILED = [(re.compile(r.pattern), r) for r in RULES]
 # the pure-pandas reference oracle in tests — same code, per BASELINE.md).
 # ---------------------------------------------------------------------------
 
-def extract_triples_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """(episode rows) → (triple rows). Vectorized: one .str.extract per rule.
+_TRIPLE_COLS = [
+    "episode_uuid", "group_id", "subj_name", "pred", "obj_name",
+    "fact", "valid_at", "invalid_at",
+]
+
+
+def _unique_triple_hits(utext: pd.Series, rule_set: list[Rule]) -> pd.DataFrame:
+    """Run every triple rule over UNIQUE texts → (u, subj_name, pred,
+    obj_name, fact, kind) with u = position in the unique array."""
+    import numpy as np
+
+    hits: list[pd.DataFrame] = []
+    for rule in rule_set:
+        cap = utext.str.extract(rule.pattern)  # 2 capture groups
+        hit = cap[0].notna()
+        if not hit.any():
+            continue
+        s, o = cap.loc[hit, 0], cap.loc[hit, 1]
+        hits.append(
+            pd.DataFrame(
+                {
+                    "u": np.nonzero(hit.to_numpy())[0],
+                    "subj_name": s.values,
+                    "pred": rule.pred,
+                    "obj_name": o.values,
+                    "fact": [
+                        rule.fact_template.format(s=sv, o=ov)
+                        for sv, ov in zip(s.values, o.values)
+                    ],
+                    "kind": rule.kind,
+                }
+            )
+        )
+    if not hits:
+        return pd.DataFrame(columns=["u", "subj_name", "pred", "obj_name", "fact", "kind"])
+    uh = pd.concat(hits, ignore_index=True)
+    # distinct-entity rule (prompts/extract_edges.py:108): drop self-loops
+    return uh[uh["subj_name"].str.lower() != uh["obj_name"].str.lower()]
+
+
+def extract_triples_pdf(
+    pdf: pd.DataFrame, rule_set: list[Rule] | None = None
+) -> pd.DataFrame:
+    """(episode rows) → (triple rows). Vectorized AND memoized: the regex
+    sweep runs once per UNIQUE text (np.unique), then results map back
+    to rows by inverse index — templated/replicated corpora are heavily
+    Zipf, so this cuts extraction CPU by the duplication factor (same
+    trick as the vocabulary-keyed embedding, functions/embeddings.py).
 
     Input columns: uuid, group_id, text, valid_at (reference_time).
     Output columns: episode_uuid, group_id, subj_name, pred, obj_name,
                     fact, valid_at, invalid_at.
     Deterministic analog of extract_edges (edge_operations.py:110-244).
+    `rule_set` selects the prompt family (default: message/text rules;
+    JSON_TRIPLE_RULES for json episodes — prompts/extract_nodes.py:131).
     """
-    outs: list[pd.DataFrame] = []
+    import numpy as np
+
     # astype(str) after fillna keeps empty/NaN-typed batches total
     text = pdf["text"].fillna("").astype(str)
-    for rule in TRIPLE_RULES:
-        cap = text.str.extract(rule.pattern)  # 2 capture groups
-        hit = cap[0].notna()
-        if not hit.any():
-            continue
-        sub = pdf.loc[hit]
-        s, o = cap.loc[hit, 0], cap.loc[hit, 1]
-        out = pd.DataFrame(
-            {
-                "episode_uuid": sub["uuid"].values,
-                "group_id": sub["group_id"].values,
-                "subj_name": s.values,
-                "pred": rule.pred,
-                "obj_name": o.values,
-                "fact": [
-                    rule.fact_template.format(s=sv, o=ov)
-                    for sv, ov in zip(s.values, o.values)
-                ],
-                "valid_at": (
-                    sub["valid_at"].values
-                    if rule.kind == ASSERT
-                    else pd.Series([pd.NaT] * len(sub), dtype="datetime64[us]").values
-                ),
-                "invalid_at": (
-                    sub["valid_at"].values
-                    if rule.kind == TERMINATE
-                    else pd.Series([pd.NaT] * len(sub), dtype="datetime64[us]").values
-                ),
-            }
-        )
-        # distinct-entity rule (prompts/extract_edges.py:108): drop self-loops
-        out = out[out["subj_name"].str.lower() != out["obj_name"].str.lower()]
-        outs.append(out)
-    if not outs:
-        return pd.DataFrame(
-            columns=[
-                "episode_uuid",
-                "group_id",
-                "subj_name",
-                "pred",
-                "obj_name",
-                "fact",
-                "valid_at",
-                "invalid_at",
-            ]
-        )
-    return pd.concat(outs, ignore_index=True)
+    if len(text) == 0:
+        return pd.DataFrame(columns=_TRIPLE_COLS)
+    uniq, inv = np.unique(text.to_numpy(dtype=object), return_inverse=True)
+    uh = _unique_triple_hits(
+        pd.Series(uniq), TRIPLE_RULES if rule_set is None else rule_set
+    )
+    if len(uh) == 0:
+        return pd.DataFrame(columns=_TRIPLE_COLS)
+    rows = pd.DataFrame(
+        {
+            "episode_uuid": pdf["uuid"].values,
+            "group_id": pdf["group_id"].values,
+            "ref_time": pdf["valid_at"].values,
+            "u": inv,
+        }
+    )
+    out = rows.merge(uh, on="u", how="inner")
+    ref = pd.Series(out["ref_time"].values, index=out.index)
+    out["valid_at"] = ref.where(out["kind"] == ASSERT, pd.NaT)
+    out["invalid_at"] = ref.where(out["kind"] == TERMINATE, pd.NaT)
+    return out[_TRIPLE_COLS].reset_index(drop=True)
 
 
-def extract_mentions_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def extract_mentions_pdf(
+    pdf: pd.DataFrame, rule_set: list[Rule] | None = None
+) -> pd.DataFrame:
     """(episode rows) → (mention rows): speaker first, then every name
     captured by any rule. Deterministic analog of extract_nodes
     (node_operations.py:67-173; speaker rule prompts/extract_nodes.py:105).
 
     Input columns: uuid, group_id, role, text.
     Output columns: episode_uuid, group_id, entity_name, mention_order.
+    `rule_set` selects the prompt family; `text`/`json` episodes pass
+    role='' so the speaker branch is a no-op (prompts/extract_nodes.py:
+    163 extract_text has no speaker rule).
     """
-    outs: list[pd.DataFrame] = []
+    import numpy as np
+
     # speaker mention (order 0) — blank-name drop per node_operations.py:145
     spk = pdf[pdf["role"].fillna("") != ""]
-    outs.append(
-        pd.DataFrame(
-            {
-                "episode_uuid": spk["uuid"].values,
-                "group_id": spk["group_id"].values,
-                "entity_name": spk["role"].values,
-                "mention_order": 0,
-            }
-        )
+    speaker = pd.DataFrame(
+        {
+            "episode_uuid": spk["uuid"].values,
+            "group_id": spk["group_id"].values,
+            "entity_name": spk["role"].values,
+            "mention_order": 0,
+        }
     )
+    # regex sweep memoized over UNIQUE texts (see extract_triples_pdf)
     text = pdf["text"].fillna("").astype(str)
-    for rule in RULES:
-        cap = text.str.extract(rule.pattern)
+    uniq, inv = (
+        np.unique(text.to_numpy(dtype=object), return_inverse=True)
+        if len(text)
+        else (np.array([], dtype=object), np.array([], dtype=int))
+    )
+    utext = pd.Series(uniq)
+    uhits: list[pd.DataFrame] = []
+    for rule in (RULES if rule_set is None else rule_set):
+        cap = utext.str.extract(rule.pattern)
         for gi in range(cap.shape[1]):
             hit = cap[gi].notna()
             if not hit.any():
                 continue
-            sub = pdf.loc[hit]
-            outs.append(
+            uhits.append(
                 pd.DataFrame(
                     {
-                        "episode_uuid": sub["uuid"].values,
-                        "group_id": sub["group_id"].values,
+                        "u": np.nonzero(hit.to_numpy())[0],
                         "entity_name": cap.loc[hit, gi].values,
                         "mention_order": gi + 1,
                     }
                 )
             )
-    out = pd.concat(outs, ignore_index=True)
+    if uhits:
+        uh = pd.concat(uhits, ignore_index=True)
+        rows = pd.DataFrame(
+            {
+                "episode_uuid": pdf["uuid"].values,
+                "group_id": pdf["group_id"].values,
+                "u": inv,
+            }
+        )
+        captured = rows.merge(uh, on="u", how="inner").drop(columns=["u"])
+        out = pd.concat([speaker, captured], ignore_index=True)
+    else:
+        out = speaker
     out = out[out["entity_name"].fillna("") != ""]
     # one mention per (episode, entity), keeping earliest order
     out = (
@@ -198,11 +260,11 @@ def extract_mentions_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 # DuckDB oracle SQL generation — mirrors the rules above exactly.
 # ---------------------------------------------------------------------------
 
-def triples_select_sql() -> str:
+def triples_select_sql(table: str = "eps", rule_set: list[Rule] | None = None) -> str:
     """UNION ALL of one regexp_extract SELECT per triple rule; expects a
-    relation `eps(uuid, group_id, text, valid_at)` in scope."""
+    relation `<table>(uuid, group_id, text, valid_at)` in scope."""
     parts = []
-    for rule in TRIPLE_RULES:
+    for rule in (TRIPLE_RULES if rule_set is None else rule_set):
         pat = rule.pattern.replace("'", "''")
         valid = "valid_at" if rule.kind == ASSERT else "cast(NULL as timestamp)"
         invalid = "valid_at" if rule.kind == TERMINATE else "cast(NULL as timestamp)"
@@ -217,7 +279,7 @@ def triples_select_sql() -> str:
       SELECT uuid, group_id, valid_at,
              regexp_extract(text, '{pat}', 1) AS s,
              regexp_extract(text, '{pat}', 2) AS o
-      FROM eps
+      FROM {table}
       WHERE regexp_matches(text, '{pat}')
     ) WHERE lower(s) <> lower(o)"""
         )
@@ -228,15 +290,15 @@ def triples_oracle_sql(episodes_cte: str) -> str:
     return f"WITH {episodes_cte}\n{triples_select_sql()}"
 
 
-def mentions_select_sql() -> str:
+def mentions_select_sql(table: str = "eps", rule_set: list[Rule] | None = None) -> str:
     """Speaker + every captured name, deduped per (episode, entity) with
-    earliest mention_order; expects `eps(uuid, group_id, role, text)`."""
+    earliest mention_order; expects `<table>(uuid, group_id, role, text)`."""
     parts = [
-        """
+        f"""
     SELECT uuid AS episode_uuid, group_id, role AS entity_name, 0 AS mention_order
-    FROM eps WHERE coalesce(role, '') <> ''"""
+    FROM {table} WHERE coalesce(role, '') <> ''"""
     ]
-    for rule in RULES:
+    for rule in (RULES if rule_set is None else rule_set):
         pat = rule.pattern.replace("'", "''")
         n_groups = 1 if rule.pred is None else 2
         for gi in range(1, n_groups + 1):
@@ -244,7 +306,7 @@ def mentions_select_sql() -> str:
                 f"""
     SELECT uuid AS episode_uuid, group_id,
            regexp_extract(text, '{pat}', {gi}) AS entity_name, {gi} AS mention_order
-    FROM eps WHERE regexp_matches(text, '{pat}')"""
+    FROM {table} WHERE regexp_matches(text, '{pat}')"""
             )
     body = "\n    UNION ALL".join(parts)
     return f"""SELECT episode_uuid, group_id, entity_name,

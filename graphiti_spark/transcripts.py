@@ -109,6 +109,53 @@ def transcripts_sql_cte() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Mixed-source episode corpus: message / text / json episode types
+# (reference EpisodeType, nodes.py:35-52; three extraction prompt
+# families prompts/extract_nodes.py:82,131,163). Derived from the same
+# events table with one shared statement so the DuckDB oracle rebuilds
+# the identical corpus. turn_idx % 4: 1 → raw `text` episode, 2 → flat
+# `json` document (name/works_at when the turn carries a WORKS_AT
+# fact, else an opaque note), other → `message` ("role: text").
+# ---------------------------------------------------------------------------
+
+_WORKS_PAT = rules.TRIPLE_RULES[0].pattern  # "^(NAME) works at (NAME)\.$"
+
+MIXED_EPISODES_SELECT = f"""
+SELECT md5(concat_ws('|', 'ep', conv_id, conv_id, cast(turn_idx AS string))) AS uuid,
+       conv_id AS group_id,
+       CASE cast(turn_idx AS int) % 4 WHEN 1 THEN 'text' WHEN 2 THEN 'json'
+            ELSE 'message' END AS source,
+       CASE WHEN cast(turn_idx AS int) % 4 = 0 OR cast(turn_idx AS int) % 4 = 3
+            THEN role ELSE '' END AS role,
+       CASE cast(turn_idx AS int) % 4
+         WHEN 1 THEN text
+         WHEN 2 THEN CASE WHEN regexp_extract(text, '{_WORKS_PAT}', 1) <> ''
+              THEN concat('{{"name": "', regexp_extract(text, '{_WORKS_PAT}', 1),
+                          '", "works_at": "', regexp_extract(text, '{_WORKS_PAT}', 2), '"}}')
+              ELSE concat('{{"note": "', text, '"}}') END
+         ELSE text
+       END AS text,
+       ts AS valid_at
+FROM transcripts
+"""
+
+MIXED_EPISODES_STMT = f"""WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT uuid, group_id, source, role, text,
+       CASE WHEN source = 'message' THEN concat(role, ': ', text)
+            ELSE text END AS content,
+       valid_at
+FROM ({MIXED_EPISODES_SELECT})
+"""
+
+
+def mixed_episodes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Episodes with per-row source in (message, text, json) — the
+    identical statement the oracle runs in DuckDB."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(MIXED_EPISODES_STMT)
+
+
+# ---------------------------------------------------------------------------
 # Seeded synthetic generator with known ground truth (FIXTURES.md §1).
 # ---------------------------------------------------------------------------
 

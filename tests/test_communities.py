@@ -82,3 +82,50 @@ def test_determine_entity_community(spark):
     got2 = comm.determine_entity_community("x9", membership, edges2).toPandas()
     b_comm = membership.filter(F.col("target_node_uuid") == "b1").toPandas().iloc[0]["source_node_uuid"]
     assert got2.iloc[0, 0] == b_comm
+
+
+def test_update_communities_incremental(spark):
+    """Incremental G6 (community_operations.py:287-311): a new node
+    adjacent to clique B joins B's community without a rebuild; the
+    community summary folds the new member in and the name regenerates;
+    an isolated new node is a no-op."""
+    edges = _edges(spark)
+    nodes = spark.createDataFrame(
+        [("g", n, n.upper()) for n in ["a1", "a2", "a3", "b1", "b2", "b3"]],
+        "group_id string, uuid string, name string",
+    )
+    communities, membership = comm.build_communities(edges, nodes, "2025-06-01 00:00:00")
+    edges2 = edges.union(
+        spark.createDataFrame(
+            [("g", "x9", "b1"), ("g", "x9", "b2"), ("g", "z1", "z2")],
+            "group_id string, source_node_uuid string, target_node_uuid string",
+        )
+    )
+    new_nodes = spark.createDataFrame(
+        [("x9", "X9", "X9", "g"), ("z1", "Z1", "Z1", "g")],
+        "uuid string, name string, summary string, group_id string",
+    )
+    comms2, mem2 = comm.update_communities(
+        communities, membership, edges2, new_nodes, "2025-06-02 00:00:00"
+    )
+    m2 = mem2.toPandas()
+    b_comm = membership.filter(F.col("target_node_uuid") == "b1").toPandas().iloc[0][
+        "source_node_uuid"
+    ]
+    added = m2[m2.target_node_uuid == "x9"]
+    assert len(added) == 1 and added.iloc[0]["source_node_uuid"] == b_comm
+    # z1 has no communal neighbor -> not added (reference no-op path)
+    assert (m2.target_node_uuid == "z1").sum() == 0
+    c2 = comms2.toPandas().set_index("uuid")
+    assert c2.loc[b_comm, "summary"].startswith("X9; ")
+    assert c2.loc[b_comm, "name"] == "X9 & co"
+    # untouched community unchanged
+    a_comm = membership.filter(F.col("target_node_uuid") == "a1").toPandas().iloc[0][
+        "source_node_uuid"
+    ]
+    assert c2.loc[a_comm, "summary"] == "A1; A2; A3"
+    # an already-member node is ignored even if passed again
+    comms3, mem3 = comm.update_communities(
+        comms2, mem2, edges2, nodes.select("uuid", "name", F.col("name").alias("summary"), "group_id"), "2025-06-03 00:00:00"
+    )
+    assert mem3.count() == mem2.count()

@@ -118,3 +118,68 @@ def test_multimodal_plumbing(spark):
 def test_real_decode_backend_raises():
     with pytest.raises(NotImplementedError):
         mm.real_decode_backend(b"xx", "image")
+
+
+def _planted_vectors(spark, n=200, dim=64, n_dups=40, seed=7):
+    """Seeded corpus with planted near-duplicates: ids [n, n+n_dups) are
+    small perturbations of ids [0, n_dups) (cos ≈ 0.99)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base[:n_dups] + 0.05 * rng.normal(size=(n_dups, dim))
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    vecs = np.concatenate([base, dup]).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embed_dup_lsh_recall(spark):
+    """Recall gate for the scale path (VERDICT r1 #6): OR-amplified
+    sign-band LSH must recover >= 90% of the exact high-cosine pairs on
+    a planted-duplicate corpus."""
+    v = _planted_vectors(spark)
+    exact = ddp.embedding_dup_pairs(v, threshold=0.9, exact=True).toPandas()
+    approx = ddp.embedding_dup_pairs(v, threshold=0.9, exact=False).toPandas()
+    exact_pairs = set(zip(exact.src, exact.dst))
+    approx_pairs = set(zip(approx.src, approx.dst))
+    assert len(exact_pairs) >= 30  # the plant worked
+    assert approx_pairs <= exact_pairs  # LSH never invents pairs
+    recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH dup recall {recall:.3f} < 0.9"
+
+
+def test_ann_lsh_recall_at_k(spark):
+    """Recall@k gate: multi-band LSH top-k must recover >= 80% of the
+    exact top-k rows for planted-neighbor probes."""
+    v = _planted_vectors(spark)
+    probes = v.filter("vec_id < 8").select(F.col("vec_id").alias("qid"), "embedding")
+    k = 5
+    exact = ann.cosine_topk_join(probes, v, k=k).toPandas()
+    approx = ann.lsh_bucket_topk(probes, v, k=k).toPandas()
+    exact_rows = set(zip(exact.qid, exact.vec_id))
+    approx_rows = set(zip(approx.qid, approx.vec_id))
+    recall = len(exact_rows & approx_rows) / len(exact_rows)
+    assert recall >= 0.8, f"ANN LSH recall@{k} {recall:.3f} < 0.8"
+    # every probe's planted twin (vec_id = qid + 200) must be found
+    twins = {(q, q + 200) for q in range(8)}
+    assert twins <= approx_rows
+
+
+def test_jaccard_df_cap_bounds_pairs(spark):
+    """VERDICT r1 #7: a stop-word token shared by every doc must not
+    create a quadratic block when max_df caps the posting join, and
+    near-dup pairs that share rare tokens keep their (lower-bound)
+    score above threshold."""
+    docs = [(i, f"the common filler alpha{i} beta{i} gamma{i}") for i in range(40)]
+    shared = "the common filler unique one two three four five six seven"
+    docs += [(100, shared), (101, shared)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = ddp.jaccard_pairs(df, threshold=0.5, max_df=5).toPandas()
+    # docs 100/101 share 8 rare tokens (df=2) + 3 capped stop-words;
+    # capped lower bound = 8/(11+11-8) = 0.57 >= 0.5
+    pairs = set(zip(capped.src, capped.dst))
+    assert (100, 101) in pairs
+    # the 40 filler docs share ONLY capped tokens -> no pair survives
+    assert all(s >= 100 for s, d in pairs)

@@ -99,3 +99,36 @@ def test_oracle_sql_matches_rules_on_duckdb():
     sql = rules.triples_oracle_sql("eps AS (SELECT * FROM eps_src)")
     got = con.sql(sql).df()
     assert _triple_multiset(got) == _triple_multiset(expected)
+
+
+def test_mixed_source_extraction(spark):
+    """text/json episode families (prompts/extract_nodes.py:82,131,163):
+    message episodes extract speaker+entities, text episodes entities
+    only (no speaker), json episodes the represented name/works_at
+    pair; a non-matching json note extracts nothing."""
+    rows = [
+        ("e1", "g", "message", "user", "Alice works at Acme.", "user: Alice works at Acme.", "2025-01-01 00:00:00"),
+        ("e2", "g", "text", "", "Bob likes Carol.", "Bob likes Carol.", "2025-01-01 00:01:00"),
+        ("e3", "g", "json", "", '{"name": "Dave Lee", "works_at": "Globex"}', '{"name": "Dave Lee", "works_at": "Globex"}', "2025-01-01 00:02:00"),
+        ("e4", "g", "json", "", '{"note": "The weather is nice today."}', '{"note": "The weather is nice today."}', "2025-01-01 00:03:00"),
+    ]
+    eps = spark.createDataFrame(
+        rows,
+        "uuid string, group_id string, source string, role string, text string, content string, valid_at string",
+    ).withColumn("valid_at", __import__("pyspark").sql.functions.col("valid_at").cast("timestamp"))
+    men = extraction.extract_mentions_mixed(eps).toPandas()
+    tri = extraction.extract_triples_mixed(eps).toPandas()
+
+    by_ep = men.groupby("episode_uuid")["entity_name"].apply(set).to_dict()
+    assert by_ep["e1"] == {"user", "Alice", "Acme"}
+    assert by_ep["e2"] == {"Bob", "Carol"}  # no speaker for text source
+    assert by_ep["e3"] == {"Dave Lee", "Globex"}
+    assert "e4" not in by_ep
+    # speaker is mention_order 0 only for the message episode
+    assert men[men.episode_uuid == "e1"].set_index("entity_name")["mention_order"]["user"] == 0
+
+    t = tri.set_index("episode_uuid")
+    assert t.loc["e1", "pred"] == "WORKS_AT" and t.loc["e1", "obj_name"] == "Acme"
+    assert t.loc["e2", "pred"] == "LIKES"
+    assert t.loc["e3", "pred"] == "WORKS_AT" and t.loc["e3", "subj_name"] == "Dave Lee"
+    assert "e4" not in t.index

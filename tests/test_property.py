@@ -8,7 +8,7 @@ directly also fuzzes the contract the Spark pipeline is held to.
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from graphiti_spark import rules
@@ -44,7 +44,7 @@ def episode_frames(draw):
 
 
 @given(episode_frames())
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_extraction_total_and_anchored(pdf):
     """Extraction never raises; triples come only from full-line rule
     matches; subj != obj always (distinct-entity rule)."""
@@ -81,7 +81,7 @@ def test_assert_terminate_partition(pdf):
 
 
 @given(st.lists(st.text(max_size=40), min_size=1, max_size=30))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_embeddings_normalized_and_memoized(texts):
     """Unit norm (or zero), deterministic, and equal strings get equal
     vectors (the batch memoization must be an identity-preserving
