@@ -148,16 +148,71 @@ def connected_components(
     return labels
 
 
+def connected_components_packed(
+    pairs: DataFrame,
+    group_col: str = "group_id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Same contract as connected_components_grouped, different physical
+    shape: pack each group's pair set into ONE row (collect_list of
+    structs — ObjectHashAggregate, map-side partial), run union-find
+    per row inside an Arrow-batched pandas_udf, explode back.
+
+    Why: applyInPandas pays a per-GROUP Arrow batch + Python call; a KG
+    corpus has very many tiny conversation groups (10⁵-10⁶), so that
+    overhead dominates the actual union-find. Here the Python cost is
+    per-BATCH (thousands of groups per Arrow batch). The one-row-per-
+    group packing holds as long as a single group's pair set fits in a
+    row (same bound applyInPandas already imposed on a group)."""
+    import pandas as pd  # noqa: F401 (annotation namespace)
+    from pyspark.sql import types as T
+
+    ret_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("node", T.StringType()),
+                T.StructField("component", T.StringType()),
+            ]
+        )
+    )
+
+    def _cc_rows_fn(prs):
+        return prs.apply(
+            lambda ps: [
+                {"node": n, "component": c}
+                for n, c in _union_find((p["s"], p["d"]) for p in ps)
+            ]
+        )
+
+    # Explicit eval_type via pandas_udf's string-hint-free form: wrap a
+    # plain function whose annotations are attached from real objects so
+    # PySpark's type-hint inference resolves (a lexically nested `import
+    # pandas as pd` is invisible to get_type_hints on string hints).
+    _cc_rows_fn.__annotations__ = {"prs": pd.Series, "return": pd.Series}
+    _cc_rows = F.pandas_udf(ret_type)(_cc_rows_fn)
+
+    packed = pairs.groupBy(group_col).agg(
+        F.collect_list(
+            F.struct(F.col(src).alias("s"), F.col(dst).alias("d"))
+        ).alias("prs")
+    )
+    return (
+        packed.select(group_col, F.explode(_cc_rows(F.col("prs"))).alias("nc"))
+        .select(group_col, F.col("nc.node").alias("node"), F.col("nc.component").alias("component"))
+    )
+
+
 def uuid_map_from_pairs(pairs: DataFrame, group_col: str = "group_id") -> DataFrame:
     """duplicate pairs(src, dst, group_id) → uuid_map(raw_uuid,
     canonical_uuid, group_id). Nodes not in any pair are absent (callers
     coalesce to identity, mirroring compress_uuid_map which only maps
     touched uuids).
 
-    Uses the grouped executor-side union-find: no driver collect, no
-    iterative loop, and the group column rides along for free (the old
-    path needed a second union+join to recover it)."""
-    return connected_components_grouped(pairs, group_col=group_col).select(
+    Uses the packed executor-side union-find (see
+    connected_components_packed): no driver collect, no iterative loop,
+    per-Arrow-batch Python overhead instead of per-group."""
+    return connected_components_packed(pairs, group_col=group_col).select(
         F.col("node").alias("raw_uuid"),
         F.col("component").alias("canonical_uuid"),
         F.col(group_col),
