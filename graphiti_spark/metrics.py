@@ -6,6 +6,12 @@ Multiset P/R over (group, subj, pred, obj) with one occurrence per
 provenance episode; names compared on their canonical first token so
 alias canonicalization ("Alice Smith" → "Alice") counts as a match,
 mirroring the reference's node-dedup semantics.
+
+DEBUG/REPORTING ONLY — this module collects the edge and node tables
+to the driver (`toPandas`), which is fine on the bounded seeded
+fixture it always runs on (n_convs·turns rows) but must never be
+called on a production-scale graph; the pipeline itself never imports
+it.
 """
 
 from __future__ import annotations

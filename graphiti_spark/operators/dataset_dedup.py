@@ -227,7 +227,10 @@ def jaccard_pairs(
     whose overlap is carried by sub-cap tokens is exact, and a genuine
     near-dup pair above `threshold` always shares rare tokens unless
     the docs are made ENTIRELY of dropped stop-words. One extra
-    aggregate + a left-semi join on the same `tok` shuffle key."""
+    aggregate + a left-semi join on the same `tok` shuffle key.
+    Guidance: at corpus scale ALWAYS set it — `max_df ≈ 0.5%` of the
+    corpus size keeps every token's pair block ≤ (0.005·n)² while only
+    dropping tokens that carry no near-dup signal (README example)."""
     toks = df.select(F.col(id_col).alias("id"), tx.tokens(F.col(text_col)).alias("toks"))
     sizes = toks.select("id", F.size("toks").alias("n"))
     posting = toks.select("id", F.explode("toks").alias("tok"))
