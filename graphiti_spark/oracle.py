@@ -304,6 +304,9 @@ KG_TYPED_NODES = f"""WITH {kg_triples_ctes()},
   lab AS (
     SELECT group_id, ename, list_sort(list(DISTINCT label)) AS tl
     FROM votes GROUP BY 1, 2),
+  ceoagg AS (
+    SELECT group_id, lower(obj_name) AS ename, min(subj_name) AS ceo
+    FROM tri WHERE pred = 'CEO_OF' GROUP BY 1, 2),
   n AS (
     SELECT DISTINCT group_id,
            md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
@@ -318,8 +321,10 @@ SELECT n.uuid, n.name, n.group_id,
        CASE WHEN l.tl[1] = 'Person'
             THEN CASE WHEN len(string_split_regex(trim(n.name), '\\s+')) > 1
                       THEN (string_split_regex(trim(n.name), '\\s+'))[-1]
-                      ELSE '' END END AS last_name
-FROM n LEFT JOIN lab l ON l.group_id = n.group_id AND l.ename = n.ename"""
+                      ELSE '' END END AS last_name,
+       CASE WHEN l.tl[1] = 'Organization' THEN c.ceo END AS ceo
+FROM n LEFT JOIN lab l ON l.group_id = n.group_id AND l.ename = n.ename
+LEFT JOIN ceoagg c ON c.group_id = n.group_id AND c.ename = n.ename"""
 
 # Typed edges (edge_type_map routing, edge_operations.py:274-301 +
 # 444-462): the query uses a map WITHOUT (Person, City) so both
@@ -354,8 +359,10 @@ FROM (
         AND ft IN ('SENTIMENT'))) AND ft IS NOT NULL AS matched
   FROM j)"""
 # splice the full KG_EDGES query in as the `base` CTE body (nested WITH
-# is legal in DuckDB; its inner CTEs shadow the identical outer ones)
-KG_TYPED_EDGES = KG_TYPED_EDGES.format(kg_edges=KG_EDGES)
+# is legal in DuckDB; its inner CTEs shadow the identical outer ones).
+# str.replace, NOT .format: the F9 clean pattern embeds RE2 `\x{200b}`
+# braces that .format would treat as (invalid) placeholders
+KG_TYPED_EDGES = KG_TYPED_EDGES.replace("{kg_edges}", KG_EDGES)
 
 
 # §3.2 step 9: resolve-vs-EXISTING-graph (graphiti.py:722-781 +

@@ -95,6 +95,80 @@ ANTONYMS: dict[str, str] = {"LIKES": "DISLIKES", "DISLIKES": "LIKES"}
 
 _COMPILED = [(re.compile(r.pattern), r) for r in RULES]
 
+# --- F9 input cleaning (llm_client/client.py:68-88) -----------------------
+# The reference cleans EVERY LLM input: zero-width/invisible unicode
+# (​ ‌ ‍ ﻿ ⁠) and control chars below 0x20
+# except \t \n \r are removed before the prompt is sent, so extracted
+# names/facts can never contain them. The rule engine applies the same
+# cleaning to its inputs in all engines; the byte-level
+# encode('utf-8','ignore') step is a no-op here because parquet/Arrow
+# strings are already valid unicode.
+CLEAN_PATTERN_PY = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\u200b\\u200c\\u200d\\ufeff\\u2060]"
+)
+# RE2 (DuckDB) spelling of the identical character class
+CLEAN_PATTERN_SQL = (
+    r"[\x00-\x08\x0b\x0c\x0e-\x1f" + r"\x{200b}\x{200c}\x{200d}\x{feff}\x{2060}]"
+)
+
+
+def clean_series(s: pd.Series) -> pd.Series:
+    """Vectorized _clean_input analog for pandas batches."""
+    return s.str.replace(CLEAN_PATTERN_PY, "", regex=True)
+
+
+# --- E2/E4 reflexion reflectors (node_operations.py:46-64, edge_
+# operations.py:157-184) ----------------------------------------------------
+# The reference's reflexion prompt asks "which entities/facts did you
+# miss, given what you found" (prompts/extract_nodes.py:130-155,
+# prompts/extract_edges.py:130-155). The deterministic analog: run the
+# FULL rule sweep and subtract what the first pass already found. With
+# the default (exhaustive) extractor this returns nothing — matching
+# the reference's default MAX_REFLEXION_ITERATIONS=0 behavior — but a
+# deliberately weaker extractor gets its misses recovered (tested).
+
+
+def reflexion_mentions_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Input columns: uuid, group_id, role, text, found_names
+    (list[str] per episode). Output: missed mention rows, mention_order
+    continuing after the found ones."""
+    full = extract_mentions_pdf(pdf[["uuid", "group_id", "role", "text"]])
+    if len(full) == 0:
+        return full
+    found = {
+        u: set(ns if ns is not None else [])
+        for u, ns in zip(pdf["uuid"], pdf["found_names"])
+    }
+    n_found = {u: len(s) for u, s in found.items()}
+    keep = [
+        name not in found.get(ep, set())
+        for ep, name in zip(full["episode_uuid"], full["entity_name"])
+    ]
+    out = full[pd.Series(keep, index=full.index)].copy()
+    # missed entities append after the found ones (the reference folds
+    # them into the next extraction round's context)
+    out["mention_order"] = out["mention_order"] + out["episode_uuid"].map(
+        lambda u: n_found.get(u, 0)
+    )
+    return out
+
+
+def reflexion_triples_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Input columns: uuid, group_id, text, valid_at, found_facts
+    (list[str] per episode). Output: missed triple rows."""
+    full = extract_triples_pdf(pdf[["uuid", "group_id", "text", "valid_at"]])
+    if len(full) == 0:
+        return full
+    found = {
+        u: set(fs if fs is not None else [])
+        for u, fs in zip(pdf["uuid"], pdf["found_facts"])
+    }
+    keep = [
+        fact not in found.get(ep, set())
+        for ep, fact in zip(full["episode_uuid"], full["fact"])
+    ]
+    return full[pd.Series(keep, index=full.index)].reset_index(drop=True)
+
 
 # ---------------------------------------------------------------------------
 # Vectorized pandas implementations (used inside Arrow-batched UDFs AND as
@@ -164,8 +238,9 @@ def extract_triples_pdf(
     if len(text) == 0:
         return pd.DataFrame(columns=_TRIPLE_COLS)
     uniq, inv = np.unique(text.to_numpy(dtype=object), return_inverse=True)
+    # F9: clean AFTER uniquing — one pass per unique text, not per row
     uh = _unique_triple_hits(
-        pd.Series(uniq), TRIPLE_RULES if rule_set is None else rule_set
+        clean_series(pd.Series(uniq)), TRIPLE_RULES if rule_set is None else rule_set
     )
     if len(uh) == 0:
         return pd.DataFrame(columns=_TRIPLE_COLS)
@@ -200,12 +275,14 @@ def extract_mentions_pdf(
     import numpy as np
 
     # speaker mention (order 0) — blank-name drop per node_operations.py:145
-    spk = pdf[pdf["role"].fillna("") != ""]
+    # F9: the speaker name is LLM input too, so it is cleaned as well
+    role_clean = clean_series(pdf["role"].fillna("").astype(str))
+    spk = pdf[role_clean != ""]
     speaker = pd.DataFrame(
         {
             "episode_uuid": spk["uuid"].values,
             "group_id": spk["group_id"].values,
-            "entity_name": spk["role"].values,
+            "entity_name": role_clean[role_clean != ""].values,
             "mention_order": 0,
         }
     )
@@ -216,7 +293,7 @@ def extract_mentions_pdf(
         if len(text)
         else (np.array([], dtype=object), np.array([], dtype=int))
     )
-    utext = pd.Series(uniq)
+    utext = clean_series(pd.Series(uniq))
     uhits: list[pd.DataFrame] = []
     for rule in (RULES if rule_set is None else rule_set):
         cap = utext.str.extract(rule.pattern)
@@ -260,9 +337,23 @@ def extract_mentions_pdf(
 # DuckDB oracle SQL generation — mirrors the rules above exactly.
 # ---------------------------------------------------------------------------
 
+def _cleaned_table_sql(table: str, with_role: bool, with_valid_at: bool) -> str:
+    """Subquery applying F9 input cleaning (CLEAN_PATTERN_SQL, 'g' flag
+    — DuckDB regexp_replace is first-match-only by default) to the text
+    (and role) columns, mirroring clean_series."""
+    cols = ["uuid", "group_id"]
+    if with_valid_at:
+        cols.append("valid_at")
+    if with_role:
+        cols.append(f"regexp_replace(role, '{CLEAN_PATTERN_SQL}', '', 'g') AS role")
+    cols.append(f"regexp_replace(text, '{CLEAN_PATTERN_SQL}', '', 'g') AS text")
+    return f"(SELECT {', '.join(cols)} FROM {table})"
+
+
 def triples_select_sql(table: str = "eps", rule_set: list[Rule] | None = None) -> str:
     """UNION ALL of one regexp_extract SELECT per triple rule; expects a
     relation `<table>(uuid, group_id, text, valid_at)` in scope."""
+    table = _cleaned_table_sql(table, with_role=False, with_valid_at=True)
     parts = []
     for rule in (TRIPLE_RULES if rule_set is None else rule_set):
         pat = rule.pattern.replace("'", "''")
@@ -293,6 +384,7 @@ def triples_oracle_sql(episodes_cte: str) -> str:
 def mentions_select_sql(table: str = "eps", rule_set: list[Rule] | None = None) -> str:
     """Speaker + every captured name, deduped per (episode, entity) with
     earliest mention_order; expects `<table>(uuid, group_id, role, text)`."""
+    table = _cleaned_table_sql(table, with_role=True, with_valid_at=False)
     parts = [
         f"""
     SELECT uuid AS episode_uuid, group_id, role AS entity_name, 0 AS mention_order

@@ -148,11 +148,24 @@ FROM ({MIXED_EPISODES_SELECT})
 """
 
 
+def spark_escape_sql(stmt: str) -> str:
+    """Double backslashes for Spark execution of a shared statement.
+
+    Spark's SQL parser processes backslash escapes inside string
+    literals (so the interpolated regex ``\\.`` silently becomes ``.``,
+    any-char) while DuckDB keeps them literal. Doubling every backslash
+    in the Spark-executed copy gives both engines identical semantics;
+    the raw statement stays the one the DuckDB oracle runs.
+    """
+    return stmt.replace("\\", "\\\\")
+
+
 def mixed_episodes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Episodes with per-row source in (message, text, json) — the
-    identical statement the oracle runs in DuckDB."""
+    identical statement the oracle runs in DuckDB (modulo string-literal
+    backslash escaping, see spark_escape_sql)."""
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
-    return spark.sql(MIXED_EPISODES_STMT)
+    return spark.sql(spark_escape_sql(MIXED_EPISODES_STMT))
 
 
 # ---------------------------------------------------------------------------

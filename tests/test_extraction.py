@@ -132,3 +132,95 @@ def test_mixed_source_extraction(spark):
     assert t.loc["e2", "pred"] == "LIKES"
     assert t.loc["e3", "pred"] == "WORKS_AT" and t.loc["e3", "subj_name"] == "Dave Lee"
     assert "e4" not in t.index
+
+
+def test_mixed_statement_escaping_spark_matches_duckdb(spark):
+    """Spark's SQL parser unescapes backslashes inside string literals
+    (so the regex \\. in MIXED_EPISODES_SELECT would become any-char .)
+    while DuckDB keeps them literal; spark_escape_sql doubles them for
+    the Spark-executed copy so both engines render identical episodes
+    — including for adversarial text that only a literal dot rejects
+    ('Alice works at Acme!' must become a json NOTE doc, not a
+    works_at doc, in BOTH engines)."""
+    import duckdb
+    import pandas as pd
+
+    tdf = pd.DataFrame(
+        {
+            "conv_id": ["c0"] * 4,
+            "turn_idx": pd.array([0, 1, 2, 6], dtype="int32"),
+            "role": ["user", "assistant", "user", "user"],
+            "text": [
+                "Alice works at Acme.",
+                "Bob moved to Paris.",
+                "Alice works at Acme!",  # %4==2 -> json branch, no final dot
+                "Carol works at Globex.",  # %4==2 -> json works_at doc
+            ],
+            "ts": pd.to_datetime(["2025-01-01 00:00:00"] * 4),
+        }
+    )
+    stmt = transcripts.MIXED_EPISODES_SELECT
+    spark.createDataFrame(tdf).createOrReplaceTempView("transcripts")
+    got_spark = (
+        spark.sql(transcripts.spark_escape_sql(stmt))
+        .orderBy("uuid")
+        .toPandas()[["group_id", "source", "role", "text"]]
+    )
+    con = duckdb.connect()
+    con.register("transcripts", tdf)
+    got_duck = con.sql(f"SELECT * FROM ({stmt}) ORDER BY uuid").df()[
+        ["group_id", "source", "role", "text"]
+    ]
+    pd.testing.assert_frame_equal(
+        got_spark.reset_index(drop=True), got_duck.reset_index(drop=True)
+    )
+    texts = set(got_spark["text"])
+    assert '{"note": "Alice works at Acme!"}' in texts
+    assert '{"name": "Carol", "works_at": "Globex"}' in texts
+
+
+def test_clean_input_strips_invisible_chars(spark):
+    """F9 (_clean_input, llm_client/client.py:68-88): zero-width /
+    control characters in transcript text and speaker names are removed
+    at the rule-engine input boundary in every engine — the names and
+    facts a dirty transcript produces are identical to a clean one's,
+    and never carry invisible characters."""
+    import duckdb
+    import pandas as pd
+
+    eps_pdf = pd.DataFrame(
+        {
+            "uuid": ["e1"],
+            "group_id": ["g"],
+            "role": ["us\x01er"],
+            "text": ["Ali\u200bce works at Ac\u200dme\ufeff."],
+            "valid_at": pd.to_datetime(["2025-01-01 00:00:00"]),
+        }
+    )
+    bad = set("\u200b\u200c\u200d\ufeff\u2060")
+    # pandas rule engine
+    men = rules.extract_mentions_pdf(eps_pdf[["uuid", "group_id", "role", "text"]])
+    tri = rules.extract_triples_pdf(eps_pdf[["uuid", "group_id", "text", "valid_at"]])
+    assert set(men["entity_name"]) == {"user", "Alice", "Acme"}
+    row = tri.iloc[0]
+    assert [row["subj_name"], row["pred"], row["obj_name"]] == ["Alice", "WORKS_AT", "Acme"]
+    for s in list(men["entity_name"]) + [row["fact"]]:
+        assert not any(ord(c) < 32 or c in bad for c in s)
+    # DuckDB oracle mirrors the cleaning
+    con = duckdb.connect()
+    con.register("eps_src", eps_pdf)
+    got = con.sql(rules.mentions_oracle_sql("eps AS (SELECT * FROM eps_src)")).df()
+    assert set(got["entity_name"]) == {"user", "Alice", "Acme"}
+    got_t = con.sql(rules.triples_oracle_sql("eps AS (SELECT * FROM eps_src)")).df()
+    assert list(got_t[["subj_name", "pred", "obj_name"]].iloc[0]) == [
+        "Alice", "WORKS_AT", "Acme",
+    ]
+    # Spark mapInPandas path (content = "role: text")
+    eps_spark = spark.createDataFrame(
+        [("e1", "g", "us\x01er: Ali\u200bce works at Ac\u200dme\ufeff.", "2025-01-01 00:00:00")],
+        "uuid string, group_id string, content string, valid_at string",
+    ).withColumn(
+        "valid_at", __import__("pyspark").sql.functions.col("valid_at").cast("timestamp")
+    )
+    men_s = extraction.extract_mentions(eps_spark).toPandas()
+    assert set(men_s["entity_name"]) == {"user", "Alice", "Acme"}
