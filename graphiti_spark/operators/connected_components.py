@@ -132,6 +132,14 @@ def connected_components(
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
+            # per-round delta checkpoint cuts lineage cheaply. Caveat
+            # (see communities.label_propagation): Spark 4 checkpoint
+            # leaves inherit origin stats and join sizeInBytes stats
+            # are products, so stat bit-width still doubles per round;
+            # tolerable here ONLY because min-label converges in
+            # ~graph-diameter rounds (≪ 15) — this loop is the fallback
+            # for large UNGROUPED graphs, never the production path
+            .localCheckpoint()
         )
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")

@@ -44,6 +44,60 @@ def test_label_propagation_separates_cliques(spark):
     assert by_node["a1"] != by_node["b1"]
 
 
+def _ref_pair(left: str, right: str) -> str:
+    """Plain-python mirror of communities.summarize_pair."""
+    segs: list[str] = []
+    for s in left.split("; ") + right.split("; "):
+        if s not in segs:
+            segs.append(s)
+    return "; ".join(segs)[:250]
+
+
+def _ref_reduce(summaries: list[str]) -> str:
+    """Reference build_community halving loop (community_operations.py:
+    155-176): odd-one-out popped from the END before pairing and
+    appended after; first half zipped with second half."""
+    summaries = list(summaries)
+    length = len(summaries)
+    while length > 1:
+        odd = None
+        if length % 2 == 1:
+            odd = summaries.pop()
+            length -= 1
+        new = [
+            _ref_pair(l, r)
+            for l, r in zip(summaries[: length // 2], summaries[length // 2 :])
+        ]
+        if odd is not None:
+            new.append(odd)
+        summaries = new
+        length = len(summaries)
+    return summaries[0]
+
+
+def test_hierarchical_summarize_matches_reference_tree(spark):
+    """The Spark halving reduce must produce the exact string the
+    reference's pair-tree produces for every community size — the tree
+    ORDER is visible in the segment order (a flat sorted concat would
+    give S0; S1; S2... instead)."""
+    sizes = [1, 2, 3, 5, 7, 8]
+    rows = [
+        ("g", f"c{size}", i, f"S{size}_{i}") for size in sizes for i in range(size)
+    ]
+    members = spark.createDataFrame(
+        rows, "group_id string, community string, idx int, summary string"
+    )
+    got = {
+        r.community: r.summary
+        for r in comm.hierarchical_summarize(members).collect()
+    }
+    for size in sizes:
+        expected = _ref_reduce([f"S{size}_{i}" for i in range(size)])
+        assert got[f"c{size}"] == expected, f"size {size}"
+    # sanity: order is tree order, not flat order, once size > 4
+    assert got["c7"] == "S7_0; S7_3; S7_2; S7_5; S7_1; S7_4; S7_6"
+
+
 def test_build_communities_tables(spark):
     edges = _edges(spark)
     nodes = spark.createDataFrame(
@@ -124,8 +178,39 @@ def test_update_communities_incremental(spark):
         "source_node_uuid"
     ]
     assert c2.loc[a_comm, "summary"] == "A1; A2; A3"
-    # an already-member node is ignored even if passed again
+    # an already-member node gets no second membership edge, and
+    # re-folding unchanged summaries is a no-op (segment dedupe)
     comms3, mem3 = comm.update_communities(
         comms2, mem2, edges2, nodes.select("uuid", "name", F.col("name").alias("summary"), "group_id"), "2025-06-03 00:00:00"
     )
     assert mem3.count() == mem2.count()
+    c3 = comms3.toPandas().set_index("uuid")
+    assert c3.loc[a_comm, "summary"] == "A1; A2; A3"
+    assert c3.loc[a_comm, "name"] == "A1 & co"
+
+
+def test_update_communities_refreshes_existing_member(spark):
+    """Reference is_new=False path (community_operations.py:287-311):
+    an entity already in a community still re-summarizes it — no new
+    HAS_MEMBER edge, but the fresh summary folds in ahead of the old
+    one and the name regenerates from the updated summary."""
+    edges = _edges(spark)
+    nodes = spark.createDataFrame(
+        [("g", n, n.upper()) for n in ["a1", "a2", "a3", "b1", "b2", "b3"]],
+        "group_id string, uuid string, name string",
+    )
+    communities, membership = comm.build_communities(edges, nodes, "2025-06-01 00:00:00")
+    refreshed = spark.createDataFrame(
+        [("b1", "B1", "B1 leads the guild", "g")],
+        "uuid string, name string, summary string, group_id string",
+    )
+    comms2, mem2 = comm.update_communities(
+        communities, membership, edges, refreshed, "2025-06-02 00:00:00"
+    )
+    assert mem2.count() == membership.count()
+    b_comm = membership.filter(F.col("target_node_uuid") == "b1").toPandas().iloc[0][
+        "source_node_uuid"
+    ]
+    c2 = comms2.toPandas().set_index("uuid")
+    assert c2.loc[b_comm, "summary"].startswith("B1 leads the guild; ")
+    assert c2.loc[b_comm, "name"] == "B1 leads the guild & co"
