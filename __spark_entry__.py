@@ -102,7 +102,8 @@ def q_kg_edges(spark, sf_dir):
 
 def q_kg_typed_nodes(spark, sf_dir):
     """entity_types analog (ontology.classify_nodes): labels from
-    predicate participation + typed Person attributes."""
+    predicate participation + typed attribute families — Person
+    first/last name, Organization ceo (node_operations.py:293-378)."""
     tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
     typed = ont.classify_nodes(tables["nodes"], tables["edges"])
     return typed.select(
@@ -113,6 +114,7 @@ def q_kg_typed_nodes(spark, sf_dir):
         F.element_at("attributes", "entity_type").alias("entity_type"),
         F.element_at("attributes", "first_name").alias("first_name"),
         F.element_at("attributes", "last_name").alias("last_name"),
+        F.element_at("attributes", "ceo").alias("ceo"),
     )
 
 
@@ -338,20 +340,46 @@ def q_kg_communities(spark, sf_dir):
 
 
 def q_kg_search_recipes(spark, sf_dir):
-    """Top-level search() orchestration (§2.11): combined hybrid RRF
-    over all object tables; rows-only (hash-embedding based)."""
+    """Top-level search() orchestration (§2.11): every canned recipe of
+    search_config_recipes.py:34-223 (3 COMBINED_*, 5 EDGE_*, 5 NODE_*,
+    3 COMMUNITY_*) runs over the same materialized graph; rows-only
+    (hash-embedding based). node_distance recipes get a deterministic
+    center node (smallest node uuid)."""
+    from graphiti_spark.operators import communities as comms_op
     from graphiti_spark.operators import search_recipes as sr
 
     tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=True)
     tables = {k: v.localCheckpoint() for k, v in tables.items()}
-    out = sr.search(tables, "Alice works at Acme")
-    parts = [
-        df.withColumn("object", F.lit(name)) for name, df in sorted(out.items())
-    ]
+    communities, _membership = comms_op.build_communities(
+        tables["edges"], tables["nodes"], pl.RUN_TS
+    )
+    tables["communities"] = embf.attach_embedding(
+        communities, "name", "name_embedding"
+    ).localCheckpoint()
+    center = tables["nodes"].orderBy("uuid").limit(1).collect()[0]["uuid"]
+    parts = []
+    for recipe in sorted(sr.RECIPES):
+        needs_center = "node_distance" in recipe
+        out = sr.search(
+            tables,
+            "Alice works at Acme",
+            config=recipe,
+            center_node_uuid=center if needs_center else None,
+            limit=3,
+        )
+        for name, df in sorted(out.items()):
+            parts.append(
+                df.select(
+                    F.lit(recipe).alias("recipe"),
+                    F.lit(name).alias("object"),
+                    "uuid",
+                    F.round("score", 4).alias("score"),
+                )
+            )
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    return u.select("object", "uuid", F.round("score", 4).alias("score"))
+    return u
 
 
 def q_kg_search_hybrid(spark, sf_dir):

@@ -105,7 +105,7 @@ DEFAULT_EDGE_TYPE_MAP: dict[tuple[str, str], list[str]] = {
 
 DEFAULT_ENTITY_TYPES: dict[str, list[str]] = {
     "Person": ["first_name", "last_name"],
-    "Organization": [],
+    "Organization": ["ceo"],
     "City": [],
 }
 
@@ -145,9 +145,25 @@ def classify_nodes(
         )
         .drop("type_labels")
     )
-    # typed attribute fill (E5 analog): Person gets first/last name from
-    # the canonical name's tokens; every typed node records entity_type =
-    # first non-Entity label (deterministic: sorted order)
+    # typed attribute fill (E5 analog, node_operations.py:293-378
+    # routing): each entity type declared in DEFAULT_ENTITY_TYPES has
+    # its own attribute family filled from graph context — Person gets
+    # first/last name from the canonical name's tokens, Organization
+    # gets its ceo from CEO_OF edge participation (deterministic min
+    # over subject names); every typed node records entity_type = first
+    # non-Entity label (deterministic: sorted order)
+    org_ceo = (
+        edges.filter(F.col("name") == "CEO_OF")
+        .join(
+            nodes.select(
+                F.col("uuid").alias("source_node_uuid"), F.col("name").alias("ceo_name")
+            ),
+            "source_node_uuid",
+        )
+        .groupBy(F.col("target_node_uuid").alias("uuid"))
+        .agg(F.min("ceo_name").alias("ceo"))
+    )
+    typed = typed.join(org_ceo, "uuid", "left")
     toks = F.split(F.trim(F.col("name")), "\\s+")
     # after "Entity"; null when untyped (try_: Spark 4 element_at throws
     # on out-of-bounds instead of returning null)
@@ -163,6 +179,11 @@ def classify_nodes(
             ),
         ),
     ).when(
+        (primary == "Organization") & F.col("ceo").isNotNull(),
+        F.map_from_arrays(
+            F.array(F.lit("entity_type"), F.lit("ceo")), F.array(primary, F.col("ceo"))
+        ),
+    ).when(
         primary.isNotNull(),
         F.map_from_arrays(F.array(F.lit("entity_type")), F.array(primary)),
     )
@@ -174,7 +195,7 @@ def classify_nodes(
         )
         .when(typed_attrs.isNotNull(), typed_attrs)
         .otherwise(F.col("attributes")),
-    )
+    ).drop("ceo")
 
 
 def exclude_nodes(

@@ -53,24 +53,93 @@ class SearchConfig:
     limit: int = DEFAULT_SEARCH_LIMIT
 
 
-# Canned recipes (search_config_recipes.py:34-223 analogs).
+def _edge(methods: tuple[str, ...] = ("bm25", "cosine"), reranker: str = "rrf") -> ObjectConfig:
+    return ObjectConfig(methods, reranker, "fact", "fact_embedding")
+
+
+def _node(methods: tuple[str, ...] = ("bm25", "cosine"), reranker: str = "rrf") -> ObjectConfig:
+    return ObjectConfig(methods, reranker, "name", "name_embedding")
+
+
+def _episode(reranker: str = "rrf") -> ObjectConfig:
+    return ObjectConfig(("bm25",), reranker, "content", "no_embedding")
+
+
+def _community(reranker: str = "rrf") -> ObjectConfig:
+    return ObjectConfig(("bm25", "cosine"), reranker, "name", "name_embedding")
+
+
+# The full canned-recipe surface of search_config_recipes.py:34-223,
+# keyed by the reference constant names (lowercased): 3 COMBINED_*, 5
+# EDGE_*, 5 NODE_*, 3 COMMUNITY_* configs. Method/reranker matrices
+# mirror the reference line-for-line (e.g. only the cross-encoder
+# variants add the bfs method; COMMUNITY_..._CROSS_ENCODER caps at 3).
 RECIPES: dict[str, SearchConfig] = {
-    "combined_hybrid_rrf": SearchConfig(),
-    "edge_hybrid_rrf": SearchConfig(node=None, episode=None),
-    "node_hybrid_rrf": SearchConfig(edge=None, episode=None),
-    "edge_hybrid_cross_encoder": SearchConfig(
-        edge=ObjectConfig(reranker="cross_encoder"), node=None, episode=None
+    "combined_hybrid_search_rrf": SearchConfig(
+        edge=_edge(), node=_node(), episode=_episode(), community=_community()
     ),
-    "node_hybrid_mmr": SearchConfig(
-        edge=None, node=ObjectConfig(reranker="mmr", text_col="name", emb_col="name_embedding"),
-        episode=None,
+    "combined_hybrid_search_mmr": SearchConfig(
+        edge=_edge(reranker="mmr"),
+        node=_node(reranker="mmr"),
+        episode=_episode(),
+        community=_community(reranker="mmr"),
     ),
-    "combined_hybrid_mmr": SearchConfig(
-        edge=ObjectConfig(reranker="mmr"),
-        node=ObjectConfig(reranker="mmr", text_col="name", emb_col="name_embedding"),
-        episode=None,
+    "combined_hybrid_search_cross_encoder": SearchConfig(
+        edge=_edge(("bm25", "cosine", "bfs"), "cross_encoder"),
+        node=_node(("bm25", "cosine", "bfs"), "cross_encoder"),
+        episode=_episode("cross_encoder"),
+        community=_community("cross_encoder"),
+    ),
+    "edge_hybrid_search_rrf": SearchConfig(edge=_edge(), node=None, episode=None),
+    "edge_hybrid_search_mmr": SearchConfig(
+        edge=_edge(reranker="mmr"), node=None, episode=None
+    ),
+    "edge_hybrid_search_node_distance": SearchConfig(
+        edge=_edge(reranker="node_distance"), node=None, episode=None
+    ),
+    "edge_hybrid_search_episode_mentions": SearchConfig(
+        edge=_edge(reranker="episode_mentions"), node=None, episode=None
+    ),
+    "edge_hybrid_search_cross_encoder": SearchConfig(
+        edge=_edge(("bm25", "cosine", "bfs"), "cross_encoder"), node=None, episode=None
+    ),
+    "node_hybrid_search_rrf": SearchConfig(edge=None, node=_node(), episode=None),
+    "node_hybrid_search_mmr": SearchConfig(
+        edge=None, node=_node(reranker="mmr"), episode=None
+    ),
+    "node_hybrid_search_node_distance": SearchConfig(
+        edge=None, node=_node(reranker="node_distance"), episode=None
+    ),
+    "node_hybrid_search_episode_mentions": SearchConfig(
+        edge=None, node=_node(reranker="episode_mentions"), episode=None
+    ),
+    "node_hybrid_search_cross_encoder": SearchConfig(
+        edge=None, node=_node(("bm25", "cosine", "bfs"), "cross_encoder"), episode=None
+    ),
+    "community_hybrid_search_rrf": SearchConfig(
+        edge=None, node=None, episode=None, community=_community()
+    ),
+    "community_hybrid_search_mmr": SearchConfig(
+        edge=None, node=None, episode=None, community=_community(reranker="mmr")
+    ),
+    "community_hybrid_search_cross_encoder": SearchConfig(
+        edge=None, node=None, episode=None, community=_community("cross_encoder"), limit=3
     ),
 }
+
+# round-2 short names kept as aliases
+_ALIASES = {
+    "combined_hybrid_rrf": "combined_hybrid_search_rrf",
+    "combined_hybrid_mmr": "combined_hybrid_search_mmr",
+    "edge_hybrid_rrf": "edge_hybrid_search_rrf",
+    "node_hybrid_rrf": "node_hybrid_search_rrf",
+    "edge_hybrid_cross_encoder": "edge_hybrid_search_cross_encoder",
+    "node_hybrid_mmr": "node_hybrid_search_mmr",
+}
+
+
+def resolve_recipe(name: str) -> SearchConfig:
+    return RECIPES[_ALIASES.get(name, name)]
 
 
 def _one_object(
@@ -118,7 +187,11 @@ def _one_object(
         return fused_in.groupBy("uuid").agg(F.max("score").alias("score"))
 
     rr = cfg.reranker
-    if rr == "node_distance" and center_node_uuid and edges_for_rerank is not None:
+    if rr == "node_distance" and (not center_node_uuid or edges_for_rerank is None):
+        # reference raises SearchRerankerError when node_distance is
+        # requested without a center node (search/search.py:326-330)
+        raise ValueError("node_distance reranker requires center_node_uuid")
+    if rr == "node_distance":
         candidates = candidates_df()
         if object_name == "edges":
             # edges rank by their SOURCE node's distance to the center
@@ -141,8 +214,18 @@ def _one_object(
             candidates, edges_for_rerank, center_node_uuid, far_score=1e9
         )
         return out.limit(limit)
-    if rr == "episode_mentions" and mentions_for_rerank is not None:
-        return srch.episode_mentions_rerank(candidates_df(), mentions_for_rerank).limit(limit)
+    if rr == "episode_mentions":
+        if object_name == "edges":
+            # the reference's episode_mentions reranker for EDGES sorts
+            # by provenance size len(edge.episodes) (search.py:271-272)
+            with_prov = candidates_df().select("uuid").join(
+                df.select("uuid", "episodes"), "uuid"
+            )
+            return srch.edge_provenance_rerank(with_prov, limit=limit).select("uuid", "score")
+        if mentions_for_rerank is not None:
+            return srch.episode_mentions_rerank(
+                candidates_df().select("uuid"), mentions_for_rerank
+            ).limit(limit)
     if rr == "mmr":
         with_vec = candidates_df().join(df.select("uuid", cfg.emb_col), "uuid")
         return srch.mmr_rerank(with_vec, cfg.emb_col, query_vec).limit(limit)
@@ -166,7 +249,7 @@ def search(
     {edges, nodes, episodes, mentions}. Returns per-object ranked
     (uuid, score) DataFrames. When a center node is given the edge
     reranker switches to node_distance (graphiti.py:907-910)."""
-    cfg = RECIPES[config] if isinstance(config, str) else config
+    cfg = resolve_recipe(config) if isinstance(config, str) else config
     limit = limit or cfg.limit
     if query_vec is None:
         query_vec = [float(x) for x in embf.embed_texts_np(

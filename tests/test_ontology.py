@@ -58,6 +58,14 @@ def test_classify_nodes_labels_and_attributes(typed_tables):
     attrs = n.loc["Alice", "attributes"]
     assert attrs["entity_type"] == "Person"
     assert attrs["first_name"] == "Alice" and attrs["last_name"] == ""
+    # Organization attribute family (E5 breadth): ceo filled from
+    # CEO_OF edge participation; an org without a CEO_OF edge has none
+    g_attrs = n.loc["Globex", "attributes"]
+    assert g_attrs["entity_type"] == "Organization"
+    assert g_attrs["ceo"] == "Bob"
+    a_attrs = n.loc["Acme", "attributes"]
+    assert a_attrs["entity_type"] == "Organization"
+    assert "ceo" not in a_attrs
 
 
 def test_type_edges_rename_and_routing(typed_tables):

@@ -51,3 +51,97 @@ def test_mmr_recipe(spark, tables):
     out = sr.search(tables, "Alice", config="node_hybrid_mmr", limit=5)
     pdf = out["nodes"].toPandas()
     assert 0 < len(pdf) <= 5
+
+
+@pytest.fixture(scope="module")
+def tables_with_communities(spark, tables):
+    from graphiti_spark.functions import embeddings as embf
+    from graphiti_spark.operators import communities as comm
+    from graphiti_spark.plans import pipeline as pl
+
+    communities, _ = comm.build_communities(
+        tables["edges"], tables["nodes"], pl.RUN_TS
+    )
+    full = dict(tables)
+    full["communities"] = embf.attach_embedding(
+        communities, "name", "name_embedding"
+    ).localCheckpoint()
+    return full
+
+
+def test_all_canned_recipes(spark, tables_with_communities):
+    """Every named config of search_config_recipes.py:34-223 (16
+    constants: 3 COMBINED, 5 EDGE, 5 NODE, 3 COMMUNITY) returns
+    non-empty results for each of its configured objects within the
+    limit. One unioned action keeps the suite fast; ranking ORDER per
+    reranker is asserted separately below."""
+    from pyspark.sql import functions as F
+
+    tables = tables_with_communities
+    center = tables["nodes"].orderBy("uuid").limit(1).collect()[0]["uuid"]
+    assert len(sr.RECIPES) == 16  # 3 COMBINED + 5 EDGE + 5 NODE + 3 COMMUNITY
+    parts = []
+    expected = set()
+    for recipe, cfg in sr.RECIPES.items():
+        needs_center = "node_distance" in recipe
+        out = sr.search(
+            tables,
+            "Alice works at Acme",
+            config=recipe,
+            center_node_uuid=center if needs_center else None,
+            limit=5,
+        )
+        objs = {
+            name
+            for name, ocfg in [
+                ("edges", cfg.edge), ("nodes", cfg.node),
+                ("episodes", cfg.episode), ("communities", cfg.community),
+            ]
+            if ocfg is not None
+        }
+        assert set(out) == objs, recipe
+        for name, df in out.items():
+            expected.add((recipe, name))
+            parts.append(
+                df.select(
+                    F.lit(recipe).alias("recipe"), F.lit(name).alias("object"),
+                    "uuid", "score",
+                )
+            )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    pdf = u.toPandas()
+    sizes = pdf.groupby(["recipe", "object"]).size()
+    assert set(sizes.index) == expected  # every (recipe, object) non-empty
+    assert (sizes <= 5).all()
+
+
+def test_reranker_orderings(spark, tables_with_communities):
+    """Ranking direction per reranker: descending for rrf / mmr /
+    cross_encoder / episode_mentions(edges: provenance size), ascending
+    for node_distance (closer = smaller)."""
+    tables = tables_with_communities
+    center = tables["nodes"].orderBy("uuid").limit(1).collect()[0]["uuid"]
+    cases = [
+        ("edge_hybrid_search_rrf", "edges", False),
+        ("node_hybrid_search_mmr", "nodes", False),
+        ("community_hybrid_search_cross_encoder", "communities", False),
+        ("edge_hybrid_search_episode_mentions", "edges", False),
+        ("node_hybrid_search_node_distance", "nodes", True),
+    ]
+    for recipe, obj, ascending in cases:
+        out = sr.search(
+            tables, "Alice works at Acme", config=recipe,
+            center_node_uuid=center if "node_distance" in recipe else None,
+            limit=5,
+        )
+        scores = list(out[obj].toPandas()["score"])
+        assert len(scores) > 0, recipe
+        want = sorted(scores) if ascending else sorted(scores, reverse=True)
+        assert scores == want, f"{recipe}/{obj}"
+
+
+def test_node_distance_without_center_raises(spark, tables):
+    with pytest.raises(ValueError):
+        sr.search(tables, "Alice", config="node_hybrid_search_node_distance")
