@@ -126,6 +126,83 @@ def extract_mentions_mixed(episodes: DataFrame) -> DataFrame:
     return src.mapInPandas(run, schema=MENTIONS_SCHEMA)
 
 
+# Reference default: reflexion off (helpers.py:38). Raising it turns on
+# the find-what-you-missed loop below, exactly like the reference's
+# MAX_REFLEXION_ITERATIONS env knob.
+MAX_REFLEXION_ITERATIONS = 0
+
+
+def extract_mentions_reflexive(
+    episodes: DataFrame,
+    extractor: Extractor = rules.extract_mentions_pdf,
+    reflector: Extractor = rules.reflexion_mentions_pdf,
+    max_iterations: int = MAX_REFLEXION_ITERATIONS,
+) -> DataFrame:
+    """E2: extract_nodes with the reflexion loop
+    (node_operations.py:46-64, loop 111-143): after the first pass, ask
+    the reflector which entities were missed given the names already
+    found; fold the misses in and repeat until none are found or the
+    iteration budget is spent. Default budget 0 — a single pass,
+    bit-identical to extract_mentions (reference parity).
+
+    Each round is one groupBy(episode) collect_set + one mapInPandas;
+    the loop terminates early via a limit(1).count() probe on a lazily
+    checkpointed miss set (at most `max_iterations` probes)."""
+    mentions = extract_mentions(episodes, extractor)
+    if max_iterations <= 0:
+        return mentions
+    src = episodes.select("uuid", "group_id", "content")
+    for _ in range(max_iterations):
+        found = mentions.groupBy(F.col("episode_uuid").alias("uuid")).agg(
+            F.collect_set("entity_name").alias("found_names")
+        )
+        ctx = src.join(found, "uuid", "left")
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = _split_content(pdf)
+                out = reflector(pdf[["uuid", "group_id", "role", "text", "found_names"]])
+                out["mention_order"] = out["mention_order"].astype("int64")
+                yield out
+
+        extra = ctx.mapInPandas(run, schema=MENTIONS_SCHEMA).localCheckpoint(eager=False)
+        if extra.limit(1).count() == 0:
+            break
+        mentions = mentions.unionByName(extra)
+    return mentions
+
+
+def extract_triples_reflexive(
+    episodes: DataFrame,
+    extractor: Extractor = rules.extract_triples_pdf,
+    reflector: Extractor = rules.reflexion_triples_pdf,
+    max_iterations: int = MAX_REFLEXION_ITERATIONS,
+) -> DataFrame:
+    """E4: extract_edges with the missed-facts reflexion loop
+    (edge_operations.py:157-184; prompt extract_edges.py:130-155).
+    Default budget 0 = single pass (reference parity)."""
+    triples = extract_triples(episodes, extractor)
+    if max_iterations <= 0:
+        return triples
+    src = episodes.select("uuid", "group_id", "content", "valid_at")
+    for _ in range(max_iterations):
+        found = triples.groupBy(F.col("episode_uuid").alias("uuid")).agg(
+            F.collect_set("fact").alias("found_facts")
+        )
+        ctx = src.join(found, "uuid", "left")
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = _split_content(pdf)
+                yield reflector(pdf[["uuid", "group_id", "text", "valid_at", "found_facts"]])
+
+        extra = ctx.mapInPandas(run, schema=TRIPLES_SCHEMA).localCheckpoint(eager=False)
+        if extra.limit(1).count() == 0:
+            break
+        triples = triples.unionByName(extra)
+    return triples
+
+
 def mentions_with_entity_uuid(mentions: DataFrame) -> DataFrame:
     """Attach the candidate (pre-canonicalization) entity uuid —
     content-derived, so within-batch exact-name dedupe is free."""

@@ -90,3 +90,29 @@ def test_mmr_single_pass_formula(spark):
     assert abs(scores[0] - 0.0) < 1e-9  # 0.5·1 − 0.5·max(1, 0.6)
     assert abs(scores[1] - 0.0) < 1e-9  # 0.5·1 − 0.5·max(1, 0.608)
     assert abs(scores[2] - (-0.004)) < 1e-9  # 0.5·0.6 − 0.5·0.608
+
+
+def test_lucene_sanitize_golden(spark):
+    """F1 golden pairs from the reference (tests/helpers_test.py:80-92),
+    including the quirky uppercase O R N T A D escapes; the Column form
+    must agree with the driver-side form."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.functions import text as tx
+
+    cases = [
+        (
+            'This has every escape character + - && || ! ( ) { } [ ] ^ " ~ * ? : \\ /',
+            '\\This has every escape character \\+ \\- \\&\\& \\|\\| \\! \\( \\) \\{ \\} \\[ \\] \\^ \\" \\~ \\* \\? \\: \\\\ \\/',
+        ),
+        ("this has no escape characters", "this has no escape characters"),
+    ]
+    for q, want in cases:
+        assert tx.lucene_sanitize(q) == want
+    got = (
+        spark.createDataFrame([(q,) for q, _ in cases], "q string")
+        .select(tx.lucene_sanitize_col(F.col("q")).alias("s"))
+        .toPandas()["s"]
+        .tolist()
+    )
+    assert got == [want for _, want in cases]
