@@ -2,12 +2,20 @@
 
 Headline queries over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS]. `value` = total wall seconds across the
-headline set; per-query seconds under "queries". Execution is forced
-with the noop sink (full pipeline runs, nothing collected).
+headline set (per-query BEST of $SPARK_GRAFT_BENCH_REPS passes, default
+3, measured back-to-back in one process — the sandbox host shows
+multi-minute noise windows that swing single passes 2-5×, so min-of-R
+is the capability estimate). Per-query seconds under "queries"; all
+raw passes under "queries_all"; process-tree CPU seconds (JVM
+executors + pyspark workers + driver) under "queries_cpu" — CPU time
+is immune to hypervisor steal, so regressions stay detectable through
+wall-clock noise. Execution is forced with the noop sink (full
+pipeline runs, nothing collected).
 
 Scaling evidence (north rule: N vs 4N executors) is produced by
-scripts/bench_scaling.py which runs the same pipeline at local[8] and
-local[32] and writes BENCH.md; this file stays a single-process bench.
+scripts/bench_scaling_paired.py which alternates single passes between
+two live JVMs (local[N] / local[4N]) and appends to BENCH.md; this
+file stays a single-process bench.
 """
 
 from __future__ import annotations
@@ -18,6 +26,36 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tree_cpu_seconds() -> float:
+    """utime+stime of this process and every descendant (JVM, pyspark
+    daemon workers) from /proc — one scan, no dependencies. Live
+    children are read directly; reaped children fold into cutime."""
+    clk = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, float]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        # after comm: state=0 ppid=1 ... utime=11 stime=12 cutime=13 cstime=14
+        ppid = int(parts[1])
+        cpu = (int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])) / clk
+        procs[int(pid)] = (ppid, cpu)
+    root = os.getpid()
+    total = 0.0
+    for pid, (ppid, cpu) in procs.items():
+        p = pid
+        while p > 1:
+            if p == root:
+                total += cpu
+                break
+            p = procs.get(p, (0, 0.0))[0]
+    return total
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -45,9 +83,7 @@ def main() -> None:
     def q_kg_pipeline():
         t = tr.transcripts_from_events(spark, sf_dir)
         tables = pl.build_graph(t, with_embeddings=True)
-        force(tables["edges"])
-        force(tables["nodes"])
-        force(tables["mentions"])
+        pl.force_outputs(tables)
 
     def q_kg_extraction_only():
         t = tr.transcripts_from_events(spark, sf_dir)
@@ -102,11 +138,22 @@ def main() -> None:
     # executors are JIT-warm); measured cold-vs-warm delta is ~3×.
     bench["kg_pipeline"]()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
+    all_times: dict[str, list[float]] = {}
+    cpu_times: dict[str, float] = {}
     for name, fn in bench.items():
-        t0 = time.time()
-        fn()
-        times[name] = round(time.time() - t0, 3)
+        walls: list[float] = []
+        cpus_used: list[float] = []
+        for _ in range(reps):
+            c0 = _tree_cpu_seconds()
+            t0 = time.time()
+            fn()
+            walls.append(round(time.time() - t0, 3))
+            cpus_used.append(round(_tree_cpu_seconds() - c0, 3))
+        all_times[name] = walls
+        times[name] = min(walls)
+        cpu_times[name] = min(cpus_used)
 
     total = round(sum(times.values()), 3)
     turns_per_sec = round(n_turns / times["kg_pipeline"], 1) if times.get("kg_pipeline") else None
@@ -122,6 +169,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_all": all_times,
+                "queries_cpu": cpu_times,
+                "bench_reps": reps,
                 "sf": sf_dir,
                 "cpus": cpus,
                 "turns_per_sec_kg_pipeline": turns_per_sec,

@@ -137,6 +137,35 @@ def build_graph(
     }
 
 
+def force_outputs(
+    tables: dict[str, DataFrame],
+    names: tuple[str, ...] = ("edges", "nodes", "mentions"),
+) -> None:
+    """Drive the output tables through the noop sink the way a real job
+    drives its sinks: shared upstream checkpoints first, then every
+    sink CONCURRENTLY (the reference writes its four tables inside one
+    bulk transaction, add_nodes_and_edges_bulk, bulk_utils.py:84-165).
+
+    Serial sink submission leaves the executors idle during each job's
+    driver phase (planning + scheduling) — pure non-scaling time that
+    caps N-vs-4N scaling efficiency. Concurrent submission overlaps one
+    sink's driver phase with another's executor work; Spark's scheduler
+    interleaves the jobs' stages. The uuid_map pre-force materializes
+    the shared lazy checkpoints (episodes, extraction outputs, uuid_map)
+    exactly once so the concurrent jobs only read completed checkpoint
+    blocks instead of racing to build them."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if "uuid_map" in tables:
+        tables["uuid_map"].write.format("noop").mode("overwrite").save()
+
+    def _force(name: str) -> None:
+        tables[name].write.format("noop").mode("overwrite").save()
+
+    with ThreadPoolExecutor(max_workers=len(names)) as pool:
+        list(pool.map(_force, names))
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -51,14 +51,12 @@ n_turns = spark.read.parquet(f"{{sf_dir}}/events.parquet").count() * repl
 # a single pass can be inflated 2-3x by neighbor interference; min is
 # the steady-state capability number.
 warm = pl.build_graph(transcripts(), with_embeddings=True)
-for name in ("edges", "nodes", "mentions"):
-    warm[name].write.format("noop").mode("overwrite").save()
+pl.force_outputs(warm)
 passes = []
 for _ in range(int(sys.argv[4])):
     t0 = time.time()
     tables = pl.build_graph(transcripts(), with_embeddings=True)
-    for name in ("edges", "nodes", "mentions"):
-        tables[name].write.format("noop").mode("overwrite").save()
+    pl.force_outputs(tables)
     passes.append(round(time.time() - t0, 3))
 wall = min(passes)
 print(json.dumps({{"cores": cores, "wall_sec": wall, "passes": passes,

@@ -42,8 +42,7 @@ def transcripts():
 
 def one_pass():
     tables = pl.build_graph(transcripts(), with_embeddings=True)
-    for name in ("edges", "nodes", "mentions"):
-        tables[name].write.format("noop").mode("overwrite").save()
+    pl.force_outputs(tables)
 
 one_pass()  # warm
 print("READY", flush=True)
