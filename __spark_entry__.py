@@ -102,8 +102,9 @@ def q_kg_edges(spark, sf_dir):
 
 def q_kg_typed_nodes(spark, sf_dir):
     """entity_types analog (ontology.classify_nodes): labels from
-    predicate participation + typed attribute families — Person
-    first/last name, Organization ceo (node_operations.py:293-378)."""
+    predicate participation + generic (type, field) rule-table
+    attribute fill — Person first/last name + employer (EdgeDerived),
+    Organization ceo (node_operations.py:293-378)."""
     tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
     typed = ont.classify_nodes(tables["nodes"], tables["edges"])
     return typed.select(
@@ -111,10 +112,11 @@ def q_kg_typed_nodes(spark, sf_dir):
         "name",
         "group_id",
         F.concat_ws(",", "labels").alias("labels"),
-        F.element_at("attributes", "entity_type").alias("entity_type"),
-        F.element_at("attributes", "first_name").alias("first_name"),
-        F.element_at("attributes", "last_name").alias("last_name"),
-        F.element_at("attributes", "ceo").alias("ceo"),
+        F.try_element_at("attributes", F.lit("entity_type")).alias("entity_type"),
+        F.try_element_at("attributes", F.lit("first_name")).alias("first_name"),
+        F.try_element_at("attributes", F.lit("last_name")).alias("last_name"),
+        F.try_element_at("attributes", F.lit("ceo")).alias("ceo"),
+        F.try_element_at("attributes", F.lit("employer")).alias("employer"),
     )
 
 
@@ -676,7 +678,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_retrieve_episodes": q_kg_retrieve_episodes,
         "kg_node_summaries": q_kg_node_summaries,
         "kg_orphan_entities": q_kg_orphan_entities,
-        "kg_nodes_page": q_kg_nodes_page,
         "kg_duplicate_of": q_kg_duplicate_of,
         "kg_canonical_map": q_kg_canonical_map,
         "kg_cross_batch_map": q_kg_cross_batch_map,
@@ -686,11 +687,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_candidates": q_kg_edge_candidates,
         "kg_bfs": q_kg_bfs,
         "kg_node_distance": q_kg_node_distance,
-        "kg_mentions_rerank": q_kg_mentions_rerank,
-        "kg_mentions_mixed": q_kg_mentions_mixed,
-        "kg_triples_mixed": q_kg_triples_mixed,
-        "kg_edges_rerank": q_kg_edges_rerank,
-        "kg_bfs_episodic": q_kg_bfs_episodic,
         "kg_context": q_kg_context,
         "kg_uuid_map_alias": q_kg_uuid_map_alias,
         "kg_communities": q_kg_communities,
@@ -700,8 +696,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_remove_episode": q_kg_remove_episode,
         "kg_add_triplets": q_kg_add_triplets,
         "topk_events_per_user": q_topk_events_per_user,
-        "window_running_value": q_window_running_value,
-        "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "join_nation_revenue": q_join_nation_revenue,
         "rrf_user_rankings": q_rrf_user_rankings,
         "search_filter_events": q_search_filter_events,
@@ -724,6 +718,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "embed_dup_pairs_lsh": q_embed_dup_pairs_lsh,
         "multimodal_frame_plan": q_multimodal_frame_plan,
+        # --- Entries below sit past the driver's 50-query correctness
+        # window by design: each was driver-green (rows+schema+hash)
+        # in CORRECTNESS_r01..r03 and is demoted here so that the
+        # queries above — which the driver had never checked through
+        # round 3 — get driver-recorded rows.  scripts/check_oracle.py
+        # still verifies ALL entries, including these.
+        "kg_mentions_rerank": q_kg_mentions_rerank,
+        "kg_mentions_mixed": q_kg_mentions_mixed,
+        "kg_triples_mixed": q_kg_triples_mixed,
+        "kg_edges_rerank": q_kg_edges_rerank,
+        "kg_bfs_episodic": q_kg_bfs_episodic,
+        "window_running_value": q_window_running_value,
+        "agg_lineitem_pricing": q_agg_lineitem_pricing,
+        "kg_nodes_page": q_kg_nodes_page,
     }
 
 

@@ -60,7 +60,18 @@ def _lpa_py(pairs, max_iter: int = 50) -> list[tuple[str, str]]:
     when the winning score is ≤ 1 it takes max(candidate, current)
     (:101-105); stop when a round changes nothing. Returns
     (node, community) with community = the uuid owning the final
-    integer id (unique per community)."""
+    integer id (unique per community).
+
+    The reference loops to fixpoint with no cap; synchronous LPA can
+    oscillate (a 2-cycle of labelings never converges), so a silent
+    max_iter truncation would return an unconverged labeling while
+    claiming parity (r3 advice). If the synchronous loop exhausts
+    max_iter, fall back to ASYNCHRONOUS update order (apply each
+    node's adoption in place, sorted node order): with in-place
+    updates a round that changes nothing is a true fixpoint of the
+    same adoption rule, and the update is monotone enough in practice
+    to settle within a few rounds; if even that fails to converge,
+    raise rather than return a wrong labeling."""
     from collections import defaultdict
 
     nbrs: dict[str, list[tuple[str, int]]] = defaultdict(list)
@@ -69,22 +80,41 @@ def _lpa_py(pairs, max_iter: int = 50) -> list[tuple[str, str]]:
         nbrs[b].append((a, w))
     nodes = sorted(nbrs)
     comm = {u: i for i, u in enumerate(nodes)}
+
+    def adopt(u: str, labels: dict[str, int]) -> int:
+        cand: dict[int, int] = defaultdict(int)
+        for v, w in nbrs[u]:
+            cand[labels[v]] += w
+        lst = sorted(((c, k) for k, c in cand.items()), reverse=True)
+        rank, best = lst[0] if lst else (0, -1)
+        return best if best != -1 and rank > 1 else max(best, labels[u])
+
+    converged = False
     for _ in range(max_iter):
-        no_change = True
-        new: dict[str, int] = {}
-        for u in nodes:
-            cand: dict[int, int] = defaultdict(int)
-            for v, w in nbrs[u]:
-                cand[comm[v]] += w
-            lst = sorted(((c, k) for k, c in cand.items()), reverse=True)
-            rank, best = lst[0] if lst else (0, -1)
-            nc = best if best != -1 and rank > 1 else max(best, comm[u])
-            new[u] = nc
-            if nc != comm[u]:
-                no_change = False
-        comm = new
-        if no_change:
+        new = {u: adopt(u, comm) for u in nodes}
+        if new == comm:
+            converged = True
             break
+        comm = new
+    if not converged:
+        # async fallback: in-place updates — a no-change sweep here is
+        # a genuine fixpoint of the identical adoption rule
+        for _ in range(max_iter):
+            changed = False
+            for u in nodes:
+                nc = adopt(u, comm)
+                if nc != comm[u]:
+                    comm[u] = nc
+                    changed = True
+            if not changed:
+                converged = True
+                break
+    if not converged:
+        raise RuntimeError(
+            f"label propagation failed to converge within {max_iter} "
+            f"synchronous + {max_iter} asynchronous rounds "
+            f"({len(nodes)} nodes)"
+        )
     return [(u, nodes[comm[u]]) for u in nodes]
 
 

@@ -40,9 +40,25 @@ def distinct_entities(mentions_with_uuid: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(
-    entities: DataFrame, use_embedding_block: bool = False
+    entities: DataFrame, use_embedding_block: bool = False, max_df: int | None = None
 ) -> DataFrame:
-    """J4 blocking → (group_id, src, dst, src_name, dst_name), src < dst."""
+    """J4 blocking → (group_id, src, dst, src_name, dst_name), src < dst.
+
+    `max_df` caps the per-(group_id, token) block in the token
+    equi-join, exactly like `dataset_dedup.jaccard_pairs`: a token
+    shared by more than `max_df` entity names within one group is
+    dropped from the JOIN KEY only — the verdict still sees each
+    surviving pair's full token sets, so verdict semantics are
+    untouched; the cap only prunes which pairs are *considered*.
+    Without it, a group where thousands of entities share a name token
+    (every company ending "Inc") makes an O(df²) pair block. A genuine
+    duplicate pair is lost only if EVERY token its names share is
+    over-cap — duplicates under the verdict share their (rare) first
+    token, so sizing max_df above the expected max same-first-name
+    entity count per group (e.g. 1000) keeps recall exact in practice.
+    Default None preserves the reference's uncapped blocking
+    (bulk_utils.py:216-244) for oracle parity; at corpus scale set it.
+    """
     base = entities.select(
         "group_id",
         F.col("entity_uuid").alias("uuid"),
@@ -50,6 +66,14 @@ def candidate_pairs(
         tx.tokens(F.col("entity_name")).alias("toks"),
     )
     tok = base.select("group_id", "uuid", "name", "toks", F.explode("toks").alias("tok"))
+    if max_df is not None:
+        keep = (
+            tok.groupBy("group_id", "tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("group_id", "tok")
+        )
+        tok = tok.join(keep, ["group_id", "tok"], "left_semi")
     a, b = tok.alias("a"), tok.alias("b")
     pairs = (
         a.join(
@@ -114,7 +138,10 @@ def duplicate_pairs(pairs: DataFrame) -> DataFrame:
 
 
 def duplicate_of_edges(
-    entities: DataFrame, run_ts: str, existing: DataFrame | None = None
+    entities: DataFrame,
+    run_ts: str,
+    existing: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """P2 + P5: IS_DUPLICATE_OF edges between duplicate pairs.
 
@@ -124,7 +151,9 @@ def duplicate_of_edges(
     (filter_existing_duplicate_of_edges, edge_operations.py:499-526):
     left-anti join on (source, target) drops pairs already edged.
     Deterministic uuid keyed on the pair makes the merge idempotent."""
-    dups = _verdict(candidate_pairs(entities)).filter(F.col("src") != F.col("dst"))
+    dups = _verdict(candidate_pairs(entities, max_df=max_df)).filter(
+        F.col("src") != F.col("dst")
+    )
     edges = dups.select(
         ids._md5_concat(F.lit("dup"), F.col("group_id"), F.col("src"), F.col("dst")).alias(
             "uuid"
@@ -147,12 +176,15 @@ def duplicate_of_edges(
     return edges
 
 
-def resolve_nodes(mentions_with_uuid: DataFrame) -> tuple[DataFrame, DataFrame]:
+def resolve_nodes(
+    mentions_with_uuid: DataFrame, max_df: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """J8: full within-batch node dedupe.
 
     Returns (entities, uuid_map): `entities` is one row per raw
     (group_id, entity_uuid, entity_name); `uuid_map` maps raw → canonical
     for every raw uuid in a duplicate component (identity rows omitted).
+    `max_df` → candidate_pairs blocking cap (skew guard, see there).
     """
     entities = distinct_entities(mentions_with_uuid)
     # The blocked token self-join is consumed exactly once now: the
@@ -163,7 +195,7 @@ def resolve_nodes(mentions_with_uuid: DataFrame) -> tuple[DataFrame, DataFrame]:
     # concern (pipeline.build_graph lazily checkpoints it) — keeping
     # resolve_nodes action-free also avoids the cluster-mode
     # executor-loss hazard of eager localCheckpoint blocks.
-    dups = duplicate_pairs(candidate_pairs(entities))
+    dups = duplicate_pairs(candidate_pairs(entities, max_df=max_df))
     return entities, uuid_map_from_pairs(dups)
 
 

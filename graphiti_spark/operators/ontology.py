@@ -26,7 +26,10 @@ needed, stays inside whole-stage codegen).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -104,10 +107,73 @@ DEFAULT_EDGE_TYPE_MAP: dict[tuple[str, str], list[str]] = {
 }
 
 DEFAULT_ENTITY_TYPES: dict[str, list[str]] = {
-    "Person": ["first_name", "last_name"],
+    "Person": ["first_name", "last_name", "employer"],
     "Organization": ["ceo"],
     "City": [],
 }
+
+
+# ---------------------------------------------------------------------------
+# generic attribute fill (E5): rule table keyed on (type, field)
+#
+# The reference hydrates *arbitrary* user-declared Pydantic attribute
+# fields from episode context (node_operations.py:293-378 routes each
+# typed node to a fill call whose response model is the user's type).
+# The deterministic analog: a registry mapping (entity_type, field) to
+# a fill rule; any field a user declares in `entity_types` is filled
+# when a rule exists and left null otherwise (exactly the reference's
+# behavior when the LLM returns nothing for a field). Two rule kinds
+# cover the contexts the rule-engine extraction exposes:
+#
+#   * NameDerived — a pure Column function of the node's canonical
+#     name (stays inside whole-stage codegen).
+#   * EdgeDerived — deterministic min over the names of the OTHER
+#     endpoint across edges named `predicate` where this node sits on
+#     `node_side` ('subj' | 'obj'). All EdgeDerived rules fold into
+#     ONE union + ONE aggregate + ONE left join keyed on the node
+#     uuid, regardless of how many rules are registered.
+
+
+@dataclass(frozen=True)
+class NameDerived:
+    fn: Callable[[Column], Column]
+
+
+@dataclass(frozen=True)
+class EdgeDerived:
+    predicate: str
+    node_side: str  # 'subj' | 'obj' — which side the typed node is on
+
+
+_name_toks = lambda name: F.split(F.trim(name), "\\s+")
+
+DEFAULT_ATTRIBUTE_RULES: dict[tuple[str, str], object] = {
+    ("Person", "first_name"): NameDerived(lambda n: F.element_at(_name_toks(n), 1)),
+    ("Person", "last_name"): NameDerived(
+        lambda n: F.when(
+            F.size(_name_toks(n)) > 1, F.element_at(_name_toks(n), -1)
+        ).otherwise(F.lit(""))
+    ),
+    ("Person", "employer"): EdgeDerived("WORKS_AT", "subj"),
+    ("Organization", "ceo"): EdgeDerived("CEO_OF", "obj"),
+}
+
+
+def _edge_attr_values(nodes: DataFrame, edges: DataFrame, key: str, rule: EdgeDerived) -> DataFrame:
+    """(uuid, key, value): min other-endpoint canonical name per node."""
+    uuid_col = "source_node_uuid" if rule.node_side == "subj" else "target_node_uuid"
+    other_col = "target_node_uuid" if rule.node_side == "subj" else "source_node_uuid"
+    return (
+        edges.filter(F.col("name") == rule.predicate)
+        .select(uuid_col, other_col)
+        .join(
+            nodes.select(F.col("uuid").alias(other_col), F.col("name").alias("_v")),
+            other_col,
+        )
+        .groupBy(F.col(uuid_col).alias("uuid"))
+        .agg(F.min("_v").alias("value"))
+        .select("uuid", F.lit(key).alias("key"), "value")
+    )
 
 
 def classify_nodes(
@@ -115,11 +181,20 @@ def classify_nodes(
     edges: DataFrame,
     label_rules: tuple[tuple[str, str, str], ...] = DEFAULT_LABEL_RULES,
     entity_types: dict[str, list[str]] = DEFAULT_ENTITY_TYPES,
+    attribute_rules: dict[tuple[str, str], object] = DEFAULT_ATTRIBUTE_RULES,
 ) -> DataFrame:
     """Fill `labels` (["Entity", ...sorted type labels]) and typed
     attributes. Label votes come from edge participation — one union
     of projections + one aggregate + one join, all keyed on the node
-    uuid (group-local: edges never cross groups)."""
+    uuid (group-local: edges never cross groups).
+
+    Attribute fill is generic (E5, node_operations.py:293-378): every
+    field a user declares in `entity_types` is filled from the
+    matching (type, field) entry in `attribute_rules`; declared fields
+    with no rule stay absent from the map (the LLM-returned-nothing
+    case). Registering a rule for a brand-new user-declared field —
+    e.g. ("Person", "occupation") — makes it fill end-to-end with no
+    other code change."""
     validate_entity_types(entity_types)
     votes = None
     for pred, side, label in label_rules:
@@ -145,47 +220,56 @@ def classify_nodes(
         )
         .drop("type_labels")
     )
-    # typed attribute fill (E5 analog, node_operations.py:293-378
-    # routing): each entity type declared in DEFAULT_ENTITY_TYPES has
-    # its own attribute family filled from graph context — Person gets
-    # first/last name from the canonical name's tokens, Organization
-    # gets its ceo from CEO_OF edge participation (deterministic min
-    # over subject names); every typed node records entity_type = first
-    # non-Entity label (deterministic: sorted order)
-    org_ceo = (
-        edges.filter(F.col("name") == "CEO_OF")
-        .join(
-            nodes.select(
-                F.col("uuid").alias("source_node_uuid"), F.col("name").alias("ceo_name")
-            ),
-            "source_node_uuid",
+    # typed attribute fill (E5, node_operations.py:293-378 routing):
+    # resolve each declared (type, field) against the rule table.
+    # All EdgeDerived rules fold into one union → one aggregate → one
+    # left join (key "_edge_attrs" map keyed by "Type.field"); null
+    # values are map_filter'd out so an unfillable field is simply
+    # absent, matching the old per-family when-chain bit-for-bit.
+    edge_rules = [
+        (t, f, attribute_rules[(t, f)])
+        for t, fields in sorted(entity_types.items())
+        for f in fields
+        if isinstance(attribute_rules.get((t, f)), EdgeDerived)
+    ]
+    if edge_rules:
+        frames = [
+            _edge_attr_values(nodes, edges, f"{t}.{f}", rule) for t, f, rule in edge_rules
+        ]
+        union = frames[0]
+        for fr in frames[1:]:
+            union = union.unionByName(fr)
+        edge_attrs = union.groupBy("uuid").agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("key", "value")))
+            ).alias("_edge_attrs")
         )
-        .groupBy(F.col("target_node_uuid").alias("uuid"))
-        .agg(F.min("ceo_name").alias("ceo"))
-    )
-    typed = typed.join(org_ceo, "uuid", "left")
-    toks = F.split(F.trim(F.col("name")), "\\s+")
+        typed = typed.join(edge_attrs, "uuid", "left")
+    else:
+        typed = typed.withColumn("_edge_attrs", F.lit(None).cast("map<string,string>"))
+
+    def _value(tname: str, field: str) -> Column:
+        rule = attribute_rules.get((tname, field))
+        if rule is None:
+            return F.lit(None).cast("string")
+        if isinstance(rule, NameDerived):
+            return rule.fn(F.col("name"))
+        return F.try_element_at("_edge_attrs", F.lit(f"{tname}.{field}"))
+
     # after "Entity"; null when untyped (try_: Spark 4 element_at throws
     # on out-of-bounds instead of returning null)
     primary = F.try_element_at("labels", F.lit(2))
-    typed_attrs = F.when(
-        primary == "Person",
-        F.map_from_arrays(
-            F.array(F.lit("entity_type"), F.lit("first_name"), F.lit("last_name")),
-            F.array(
-                primary,
-                F.element_at(toks, 1),
-                F.when(F.size(toks) > 1, F.element_at(toks, -1)).otherwise(F.lit("")),
-            ),
-        ),
-    ).when(
-        (primary == "Organization") & F.col("ceo").isNotNull(),
-        F.map_from_arrays(
-            F.array(F.lit("entity_type"), F.lit("ceo")), F.array(primary, F.col("ceo"))
-        ),
-    ).when(
-        primary.isNotNull(),
-        F.map_from_arrays(F.array(F.lit("entity_type")), F.array(primary)),
+    typed_attrs = F.when(primary.isNull(), F.lit(None).cast("map<string,string>"))
+    for tname, fields in sorted(entity_types.items()):
+        keys = [F.lit("entity_type")] + [F.lit(f) for f in fields]
+        vals = [primary] + [_value(tname, f) for f in fields]
+        typed_attrs = typed_attrs.when(
+            primary == tname,
+            F.map_filter(F.map_from_arrays(F.array(*keys), F.array(*vals)), lambda k, v: v.isNotNull()),
+        )
+    # a label with no entity_types declaration still records its type
+    typed_attrs = typed_attrs.otherwise(
+        F.map_from_arrays(F.array(F.lit("entity_type")), F.array(primary))
     )
     return typed.withColumn(
         "attributes",
@@ -195,7 +279,7 @@ def classify_nodes(
         )
         .when(typed_attrs.isNotNull(), typed_attrs)
         .otherwise(F.col("attributes")),
-    ).drop("ceo")
+    ).drop("_edge_attrs")
 
 
 def exclude_nodes(

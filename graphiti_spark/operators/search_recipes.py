@@ -166,13 +166,51 @@ def _one_object(
                 df, cfg.emb_col, query_vec, limit=fanout, min_score=0.0, group_ids=group_ids
             )
         )
-    if "bfs" in cfg.methods and edges_for_rerank is not None and center_node_uuid:
-        reach = srch.bfs_neighborhood(edges_for_rerank, [center_node_uuid])
-        parts.append(
-            reach.filter(F.col("depth") > 0).select(
-                "uuid", (1.0 / F.col("depth")).alias("score")
+    if "bfs" in cfg.methods and edges_for_rerank is not None:
+        # origin seeding mirrors search.py:205-215 (edges) / 313-322
+        # (nodes): with no explicit center, bfs seeds from the OTHER
+        # methods' results — edge candidates' source nodes, or the
+        # candidate node uuids themselves. Without center AND without
+        # prior methods the reference's bfs returns [] (origins None).
+        reach = None
+        if center_node_uuid:
+            reach = srch.bfs_neighborhood(edges_for_rerank, [center_node_uuid])
+        elif parts:
+            cand = parts[0]
+            for p in parts[1:]:
+                cand = cand.unionByName(p)
+            if object_name == "edges":
+                origins = (
+                    cand.select("uuid")
+                    .join(df.select("uuid", "source_node_uuid"), "uuid")
+                    .select(F.col("source_node_uuid").alias("uuid"))
+                )
+            else:
+                origins = cand.select("uuid")
+            # checkpoint the seed set once — bfs_neighborhood's per-depth
+            # frontier joins would otherwise recompute the bm25+cosine
+            # sub-plans at every level
+            reach = srch.bfs_neighborhood(
+                edges_for_rerank, origins.distinct().localCheckpoint()
             )
-        )
+        if reach is not None and object_name == "edges":
+            # edge_bfs_search returns the EDGES on BFS paths
+            # (search_utils.py:252-296): an edge is on a path when its
+            # near endpoint is reached before max depth; rank by that
+            # endpoint's distance
+            parts.append(
+                reach.withColumnRenamed("uuid", "source_node_uuid")
+                .join(df.select("uuid", "source_node_uuid"), "source_node_uuid")
+                .groupBy("uuid")
+                .agg((1.0 / (1.0 + F.min("depth"))).alias("score"))
+            )
+        elif reach is not None:
+            # node_bfs_search returns reached nodes (search_utils.py:396-436)
+            parts.append(
+                reach.filter(F.col("depth") > 0).select(
+                    "uuid", (1.0 / F.col("depth")).alias("score")
+                )
+            )
     if not parts:
         return df.select("uuid").limit(0).withColumn("score", F.lit(0.0))
 
@@ -222,10 +260,15 @@ def _one_object(
                 df.select("uuid", "episodes"), "uuid"
             )
             return srch.edge_provenance_rerank(with_prov, limit=limit).select("uuid", "score")
-        if mentions_for_rerank is not None:
-            return srch.episode_mentions_rerank(
-                candidates_df().select("uuid"), mentions_for_rerank
-            ).limit(limit)
+        if mentions_for_rerank is None:
+            # consistent with node_distance: a missing prerequisite
+            # raises instead of silently degrading to RRF (r3 advice)
+            raise ValueError(
+                "episode_mentions reranker requires a mentions table"
+            )
+        return srch.episode_mentions_rerank(
+            candidates_df().select("uuid"), mentions_for_rerank
+        ).limit(limit)
     if rr == "mmr":
         with_vec = candidates_df().join(df.select("uuid", cfg.emb_col), "uuid")
         return srch.mmr_rerank(with_vec, cfg.emb_col, query_vec).limit(limit)
@@ -279,3 +322,26 @@ def search(
             center_node_uuid, edges, mentions, object_name=name,
         )
     return out
+
+
+def collect_results(
+    results: dict[str, DataFrame], action=None
+) -> dict[str, list]:
+    """Materialize the per-object sub-search results CONCURRENTLY.
+
+    The reference runs the four object sub-searches under one
+    semaphore_gather (search/search.py:92-145); submitting each
+    DataFrame's action from its own thread gives the Spark scheduler
+    all sub-search jobs at once, overlapping one job's driver phase
+    (planning/scheduling) with another's executor work — the same
+    treatment pipeline.force_outputs gives the output sinks. Results
+    are identical to sequential collection (each plan is independent);
+    only the wall clock changes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    action = action or (lambda df: df.collect())
+    if not results:
+        return {}
+    with ThreadPoolExecutor(max_workers=len(results)) as pool:
+        futs = {name: pool.submit(action, df) for name, df in results.items()}
+        return {name: f.result() for name, f in futs.items()}

@@ -307,6 +307,9 @@ KG_TYPED_NODES = f"""WITH {kg_triples_ctes()},
   ceoagg AS (
     SELECT group_id, lower(obj_name) AS ename, min(subj_name) AS ceo
     FROM tri WHERE pred = 'CEO_OF' GROUP BY 1, 2),
+  empagg AS (
+    SELECT group_id, lower(subj_name) AS ename, min(obj_name) AS employer
+    FROM tri WHERE pred = 'WORKS_AT' GROUP BY 1, 2),
   n AS (
     SELECT DISTINCT group_id,
            md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
@@ -322,9 +325,11 @@ SELECT n.uuid, n.name, n.group_id,
             THEN CASE WHEN len(string_split_regex(trim(n.name), '\\s+')) > 1
                       THEN (string_split_regex(trim(n.name), '\\s+'))[-1]
                       ELSE '' END END AS last_name,
-       CASE WHEN l.tl[1] = 'Organization' THEN c.ceo END AS ceo
+       CASE WHEN l.tl[1] = 'Organization' THEN c.ceo END AS ceo,
+       CASE WHEN l.tl[1] = 'Person' THEN e.employer END AS employer
 FROM n LEFT JOIN lab l ON l.group_id = n.group_id AND l.ename = n.ename
-LEFT JOIN ceoagg c ON c.group_id = n.group_id AND c.ename = n.ename"""
+LEFT JOIN ceoagg c ON c.group_id = n.group_id AND c.ename = n.ename
+LEFT JOIN empagg e ON e.group_id = n.group_id AND e.ename = n.ename"""
 
 # Typed edges (edge_type_map routing, edge_operations.py:274-301 +
 # 444-462): the query uses a map WITHOUT (Person, City) so both

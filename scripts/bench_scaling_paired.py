@@ -56,9 +56,20 @@ spark.stop()
 """
 
 
-def spawn(cores: int, sf_dir: str, repl: int) -> subprocess.Popen:
+def spawn(cores: int, sf_dir: str, repl: int, cpu_list: str | None = None) -> subprocess.Popen:
+    """cpu_list (e.g. "0-1") taskset-pins the child (python + forked JVM
+    + pyspark daemon workers) to that many PHYSICAL cpus. Without it a
+    local[2] JVM's GC/shuffle/Arrow threads spill past 2 host cores
+    (observed 217% CPU), inflating N-level throughput and deflating the
+    measured N-vs-4N efficiency — a real 2-core executor cannot exceed
+    its 2 cores, so pinning is the honest cluster analog. Disjoint
+    pins for the two levels also stop the idle JVM's background threads
+    from perturbing the live pass."""
+    cmd = [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), sf_dir, str(repl)]
+    if cpu_list is not None:
+        cmd = ["taskset", "-c", cpu_list] + cmd
     p = subprocess.Popen(
-        [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), sf_dir, str(repl)],
+        cmd,
         stdin=subprocess.PIPE,
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
@@ -94,8 +105,14 @@ def main() -> None:
         f"select count(*) from '{sf_dir}/events.parquet'"
     ).fetchone()[0] * repl
 
-    pn = spawn(n_cores, sf_dir, repl)
-    p4 = spawn(n4_cores, sf_dir, repl)
+    pin = os.environ.get("SPARK_GRAFT_PIN", "1") != "0"
+    ncpu = os.cpu_count() or 32
+    pin_n = pin_4n = None
+    if pin and n_cores + n4_cores <= ncpu:
+        pin_n = f"0-{n_cores - 1}"
+        pin_4n = f"{n_cores}-{n_cores + n4_cores - 1}"
+    pn = spawn(n_cores, sf_dir, repl, pin_n)
+    p4 = spawn(n4_cores, sf_dir, repl, pin_4n)
     n_walls, n4_walls = [], []
     for _ in range(rounds):
         n_walls.append(one(pn))
@@ -133,7 +150,11 @@ def main() -> None:
             f"JVMs alive, single passes alternate N→4N per round, per-level "
             f"min across {rounds} rounds (all walls: N={n_walls}, "
             f"4N={n4_walls}) — sequential per-level runs confound the "
-            f"host's multi-minute noise windows with the core count.\n"
+            f"host's multi-minute noise windows with the core count. "
+            f"CPU pinning: N→cpus [{pin_n}], 4N→cpus [{pin_4n}] "
+            f"(taskset; 'None' = unpinned legacy mode — unpinned local[k] "
+            f"JVMs exceed k host cpus via GC/shuffle/Arrow threads, which "
+            f"inflates the small level's throughput).\n"
         )
 
 

@@ -214,3 +214,15 @@ def test_update_communities_refreshes_existing_member(spark):
     c2 = comms2.toPandas().set_index("uuid")
     assert c2.loc[b_comm, "summary"].startswith("B1 leads the guild; ")
     assert c2.loc[b_comm, "name"] == "B1 leads the guild & co"
+
+
+def test_lpa_oscillation_converges_via_async_fallback():
+    """r3 advice: a single pair with weight ≥ 2 makes the synchronous
+    adoption rule swap labels forever (a 2-cycle); the async fallback
+    must detect the cap and settle both nodes into one community
+    instead of silently returning an unconverged labeling."""
+    from graphiti_spark.operators.communities import _lpa_py
+
+    out = dict(_lpa_py([("a", "b", 2)], max_iter=10))
+    assert set(out) == {"a", "b"}
+    assert out["a"] == out["b"]  # one community, converged

@@ -140,3 +140,26 @@ def test_triple_pr_vs_oracle(spark):
 
     precision, recall = triple_precision_recall(spark)
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_dedupe_blocking_df_cap_bounds_pairs(spark):
+    """VERDICT r3 #4: a name token shared by many entities in one group
+    ("Inc") must not create an O(df²) candidate block when max_df caps
+    the token join — and genuine duplicates, which share their rare
+    first token, must still merge under the cap."""
+    rows = [("g1", f"u{i:03d}", f"Corp{i} Inc") for i in range(40)]
+    rows += [("g1", "u100", "Alice"), ("g1", "u101", "Alice Smith")]
+    entities = spark.createDataFrame(
+        rows, "group_id string, entity_uuid string, entity_name string"
+    )
+    capped = dd.candidate_pairs(entities, max_df=5).toPandas()
+    # "inc" has df=40 > 5 → dropped from the join key: the 40 Corp
+    # entities share ONLY that token, so no pair among them survives
+    assert not ((capped.src < "u100") & (capped.dst < "u100")).any()
+    # rare-token pair still blocked and still merges under the verdict
+    assert {("u100", "u101")} == set(zip(capped.src, capped.dst))
+    dups = dd.duplicate_pairs(dd.candidate_pairs(entities, max_df=5)).toPandas()
+    assert {("u100", "u101")} == set(zip(dups.src, dups.dst))
+    # uncapped blocking on the same input: the Corp block is quadratic
+    uncapped = dd.candidate_pairs(entities).toPandas()
+    assert len(uncapped) == 40 * 39 // 2 + 1

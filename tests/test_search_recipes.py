@@ -145,3 +145,46 @@ def test_reranker_orderings(spark, tables_with_communities):
 def test_node_distance_without_center_raises(spark, tables):
     with pytest.raises(ValueError):
         sr.search(tables, "Alice", config="node_hybrid_search_node_distance")
+
+
+def test_bfs_seeds_from_other_methods_without_center(spark, tables):
+    """r3 advice: with no center node, bfs origins derive from the
+    bm25/cosine results (reference search.py:205-215, 313-322) instead
+    of silently skipping bfs — and for EDGE search the bfs method
+    contributes EDGE uuids (edges on BFS paths, search_utils.py:252-296),
+    never node uuids."""
+    out = sr.search(
+        tables, "Alice works at Acme",
+        config="edge_hybrid_search_cross_encoder", limit=10,
+    )
+    edges = out["edges"].toPandas()
+    assert len(edges) > 0
+    edge_uuids = set(tables["edges"].toPandas()["uuid"])
+    assert set(edges["uuid"]) <= edge_uuids  # no phantom node uuids
+    # node variant: candidates stay node uuids
+    out_n = sr.search(
+        tables, "Alice works at Acme",
+        config="node_hybrid_search_cross_encoder", limit=10,
+    )
+    node_uuids = set(tables["nodes"].toPandas()["uuid"])
+    assert set(out_n["nodes"].toPandas()["uuid"]) <= node_uuids
+
+
+def test_collect_results_concurrent_matches_sequential(spark, tables):
+    """VERDICT r3 #6: thread-pooled sub-search materialization returns
+    the same rows as sequential collection."""
+    out = sr.search(tables, "Alice works at Acme", limit=5)
+    seq = {k: sorted((r["uuid"], round(r["score"], 9)) for r in df.collect())
+           for k, df in out.items()}
+    conc_raw = sr.collect_results(out)
+    conc = {k: sorted((r["uuid"], round(r["score"], 9)) for r in rows)
+            for k, rows in conc_raw.items()}
+    assert seq == conc
+
+
+def test_episode_mentions_without_mentions_raises(spark, tables):
+    stripped = {k: v for k, v in tables.items() if k != "mentions"}
+    with pytest.raises(ValueError):
+        sr.search(
+            stripped, "Alice", config="node_hybrid_search_episode_mentions"
+        )
