@@ -33,24 +33,26 @@ cores = int(sys.argv[1]); sf_dir = sys.argv[2]; repl = int(sys.argv[3])
 spark = get_spark(app_name=f"paired_{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores)
 
-def transcripts():
+def transcripts(n_repl):
     t = tr.transcripts_from_events(spark, sf_dir)
-    reps = spark.range(repl).select(F.col("id").alias("rep"))
+    reps = spark.range(n_repl).select(F.col("id").alias("rep"))
     return t.crossJoin(reps).withColumn(
         "conv_id", F.concat_ws("-", "conv_id", F.col("rep").cast("string"))
     ).drop("rep")
 
-def one_pass():
-    tables = pl.build_graph(transcripts(), with_embeddings=True)
+def one_pass(n_repl):
+    tables = pl.build_graph(transcripts(n_repl), with_embeddings=True)
     pl.force_outputs(tables)
 
-one_pass()  # warm
+# warm at quarter replication: JIT/codegen/Arrow paths are identical,
+# the measured passes below use the full repl
+one_pass(max(1, repl // 4))
 print("READY", flush=True)
 for line in sys.stdin:
     if line.strip() != "GO":
         break
     t0 = time.time()
-    one_pass()
+    one_pass(repl)
     print(json.dumps({{"wall": round(time.time() - t0, 3)}}), flush=True)
 spark.stop()
 """
@@ -68,13 +70,22 @@ def spawn(cores: int, sf_dir: str, repl: int, cpu_list: str | None = None) -> su
     cmd = [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), sf_dir, str(repl)]
     if cpu_list is not None:
         cmd = ["taskset", "-c", cpu_list] + cmd
+    # Two 48g-heap JVMs stay alive for the whole protocol; cap each so
+    # the pair plus pyspark workers fits the host (a 16-core ×100 child
+    # reached 54g RSS and drew the OOM killer when memory was shared
+    # with a third JVM). stderr to a file, not DEVNULL — a dead child
+    # must be diagnosable.
+    env = dict(os.environ)
+    env.setdefault("SPARK_DRIVER_MEMORY", "36g")
+    errlog = open(f"/tmp/paired_child_{cores}.err", "w")
     p = subprocess.Popen(
         cmd,
         stdin=subprocess.PIPE,
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=errlog,
         text=True,
         cwd=REPO,
+        env=env,
     )
     for line in p.stdout:
         if line.strip() == "READY":
