@@ -36,9 +36,21 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="check_oracle")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def duck_sql(sql: str) -> pd.DataFrame:
+        # Fresh connection per oracle query: a single shared connection
+        # accumulates buffer-pool pages across all 58 queries and,
+        # sitting next to the Spark JVM heap, eventually OOMs the
+        # sandbox (observed: "Failed to allocate block of 16384 bytes"
+        # on queries that pass in isolation). View creation is
+        # metadata-only, so the recycle costs ~ms.
+        con = duckdb.connect()
+        try:
+            for t in TABLES:
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            return con.sql(sql).df()
+        finally:
+            con.close()
 
     qs, os_ = entry.queries(), entry.oracle_sql()
     failures = []
@@ -48,7 +60,7 @@ def main() -> int:
     # duplicate components — fail loudly if the corpus ever changes
     from graphiti_spark import oracle as _orc  # noqa: E402
 
-    viol = con.sql(_orc.ASSERT_PAIR_COMPONENTS).df()
+    viol = duck_sql(_orc.ASSERT_PAIR_COMPONENTS)
     if len(viol):
         failures.append("assert_pair_components")
         print(f"[PRECOND-FAIL] dedupe components of size >2 exist:\n{viol.head()}")
@@ -68,7 +80,7 @@ def main() -> int:
                 print(f"  WARNING: empty result for rows-only {name}")
             continue
         try:
-            exp = con.sql(sql).df()
+            exp = duck_sql(sql)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"[DUCK-ERROR ] {name}: {type(e).__name__}: {str(e)[:200]}")
