@@ -622,6 +622,12 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann.lsh_bucket_topk(probes, embs, k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    embs = _read(spark, sf_dir, "embeddings")
+    probes = embs.filter("vec_id < 4").select(F.col("vec_id").alias("qid"), "embedding")
+    return ann.ivf_topk(probes, embs, k=5, n_centroids=16, n_probe=4)
+
+
 def q_multimodal_features(spark, sf_dir):
     # Project the array<float> feature to sortable scalars: the driver's
     # canonicalizer sorts every column, and python lists aren't hashable
@@ -732,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_value": q_window_running_value,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "kg_nodes_page": q_kg_nodes_page,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 

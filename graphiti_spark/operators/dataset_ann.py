@@ -107,6 +107,110 @@ def lsh_bucket_topk(
     )
 
 
+def _train_coarse_centroids(
+    index: DataFrame,
+    n_centroids: int,
+    train_sample: int,
+    iters: int,
+    index_id: str,
+    vec_col: str,
+) -> np.ndarray:
+    """Lloyd k-means on a bounded, deterministic sample (driver-side
+    numpy) — the IVF coarse-quantizer training step. At 100 TB the
+    quantizer is still trained on a sample of this size (standard IVF
+    practice: the codebook must fit in memory and be broadcast), so the
+    driver-side cost is constant in corpus size; `orderBy(id).limit(n)`
+    plans as TakeOrderedAndProject, not a full sort. Spherical variant:
+    vectors live on the unit sphere, assignment maximizes dot product,
+    recomputed means are re-normalized."""
+    rows = index.select(index_id, vec_col).orderBy(index_id).limit(train_sample).collect()
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_centroids = min(n_centroids, len(X))
+    # deterministic init: evenly strided sample rows (no RNG — scripts
+    # must stay reproducible across runs/resumes)
+    C = X[np.linspace(0, len(X) - 1, n_centroids).astype(int)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for ci in range(n_centroids):
+            members = X[assign == ci]
+            if len(members):  # empty cluster keeps its old centroid
+                m = members.mean(axis=0)
+                C[ci] = m / max(np.linalg.norm(m), 1e-12)
+    return C.astype(np.float32)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    iters: int = 10,
+    query_id: str = "qid",
+    index_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the second scale path next to `lsh_bucket_topk`. Each index vector
+    is assigned to its nearest of `n_centroids` broadcast centroids
+    (one Arrow-batched GEMM per partition, no shuffle); each query
+    probes its `n_probe` nearest lists. Candidate generation is then a
+    bucket equi-join on cluster id and the final scores are exact
+    cosine within the probed lists, so recall is governed by
+    n_probe/n_centroids (pytest recall gate vs the exact top-k).
+
+    Sizing at scale: n_centroids ~ sqrt(corpus) keeps lists ~sqrt(n)
+    rows; per-probe candidates = n_probe·n/n_centroids vs the brute
+    scan's n. Skewed lists (natural clusters) are shuffle-side AQE
+    territory; the join's probe side is broadcast."""
+    spark = index.sparkSession
+    C = _train_coarse_centroids(index, n_centroids, train_sample, iters, index_id, vec_col)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assigner(id_name: str, nprobe: int):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cv = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(pdf[vec_col].values).astype(np.float32)
+                M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+                S = M @ Cv.T
+                p = min(nprobe, S.shape[1])
+                top = np.argsort(-S, axis=1)[:, :p]  # (n, p) cluster ids
+                yield pd.DataFrame(
+                    {
+                        id_name: np.repeat(pdf[id_name].values, p),
+                        "cluster": top.ravel().astype(np.int32),
+                        "v": np.repeat(list(M), p, axis=0).tolist(),
+                    }
+                )
+
+        return fn
+
+    iv = index.select(index_id, vec_col).mapInPandas(
+        assigner(index_id, 1), schema=f"{index_id} long, cluster int, v array<float>"
+    )
+    qv = queries.select(query_id, vec_col).mapInPandas(
+        assigner(query_id, n_probe), schema=f"{query_id} long, cluster int, v array<float>"
+    )
+    joined = (
+        iv.join(F.broadcast(qv.withColumnRenamed("v", "qv")), "cluster")
+        .dropDuplicates([query_id, index_id])  # a pair can meet in several probed lists
+        .withColumn(
+            "score", emb.dot(F.col("v").cast("array<double>"), F.col("qv").cast("array<double>"))
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(index_id))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, index_id, "score", "rn")
+    )
+
+
 def cosine_topk_pandas(
     vectors: DataFrame,
     query_vecs: np.ndarray,

@@ -167,6 +167,30 @@ def test_ann_lsh_recall_at_k(spark):
     assert twins <= approx_rows
 
 
+def test_ann_ivf_recall_at_k(spark):
+    """Recall@k gate for the IVF scale path: probing n_probe of
+    n_centroids coarse lists must recover >= 80% of the exact top-k
+    (and each probe's planted twin) on the planted-neighbor corpus."""
+    v = _planted_vectors(spark)
+    probes = v.filter("vec_id < 8").select(F.col("vec_id").alias("qid"), "embedding")
+    k = 5
+    exact = ann.cosine_topk_join(probes, v, k=k).toPandas()
+    approx = ann.ivf_topk(probes, v, k=k, n_centroids=8, n_probe=3).toPandas()
+    exact_rows = set(zip(exact.qid, exact.vec_id))
+    approx_rows = set(zip(approx.qid, approx.vec_id))
+    recall = len(exact_rows & approx_rows) / len(exact_rows)
+    assert recall >= 0.8, f"ANN IVF recall@{k} {recall:.3f} < 0.8"
+    # a probe and its planted twin are ~cos 0.95+ — same coarse list
+    twins = {(q, q + 200) for q in range(8)}
+    assert twins <= approx_rows
+    # scores within probed lists are exact: every returned (qid, vec_id)
+    # that the exact run also returned must carry the same score
+    em = {(r.qid, r.vec_id): r.score for r in exact.itertuples()}
+    for r in approx.itertuples():
+        if (r.qid, r.vec_id) in em:
+            assert abs(em[(r.qid, r.vec_id)] - r.score) < 1e-6
+
+
 def test_jaccard_df_cap_bounds_pairs(spark):
     """VERDICT r1 #7: a stop-word token shared by every doc must not
     create a quadratic block when max_df caps the posting join, and
