@@ -539,6 +539,23 @@ def q_dedup_exact_documents(spark, sf_dir):
     )
 
 
+def q_dedup_resolve_documents(spark, sf_dir):
+    # exact-dup star pairs (min-id -> member per identical text) feed the
+    # generic pair-graph resolver; component = text group exactly, so the
+    # DuckDB window-min oracle is exact. Near-dup pair sources compose the
+    # same way but are not SQL-expressible (CC), hence this variant is the
+    # oracle-checked one.
+    docs = _read(spark, sf_dir, "documents")
+    h = docs.withColumn("h", F.md5("text"))
+    canon = h.groupBy("h").agg(F.min("doc_id").alias("canon"))
+    pairs = (
+        h.join(canon, "h")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(F.col("canon").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    return ddp.dedup_resolve(docs, pairs).select("doc_id", "canonical_id", "keep")
+
+
 def q_minhash_pairs_documents(spark, sf_dir):
     return ddp.minhash_pairs(_read(spark, sf_dir, "documents"), threshold=0.5).select(
         "src", "dst", F.round("est_jaccard", 4).alias("est_jaccard")
@@ -739,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "kg_nodes_page": q_kg_nodes_page,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_resolve_documents": q_dedup_resolve_documents,
     }
 
 
@@ -790,4 +808,5 @@ def oracle_sql() -> dict[str, str]:
         "mmr_embeddings": oracle.MMR_EMBEDDINGS,
         "cross_encoder_documents": oracle.CROSS_ENCODER_DOCUMENTS,
         "embed_dup_pairs": oracle.EMBED_DUP_PAIRS,
+        "dedup_resolve_documents": oracle.DEDUP_RESOLVE_DOCUMENTS,
     }

@@ -258,3 +258,42 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("src", "dst", "jaccard")
     )
+
+
+def dedup_resolve(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Turn near-dup PAIRS into a per-document keep/drop verdict — the
+    step a training pipeline actually applies before writing the
+    deduplicated corpus. Connected components over the (undirected)
+    pair graph; canonical = numerically smallest doc id in the
+    component (ids are zero-padded before the string-keyed CC op so
+    lexicographic min == numeric min); documents in no pair keep
+    themselves. Returns (doc_id, canonical_id, keep).
+
+    Scale: CC cost is bounded by the pair graph (already blocked by the
+    upstream pair generator), not the corpus; the verdict join back to
+    `docs` is one broadcast-or-shuffle hash join on the id. Compose
+    with any pair source: minhash_pairs, jaccard_pairs,
+    simhash_pairs, embedding_dup_pairs, or exact-hash pairs."""
+    from graphiti_spark.operators import connected_components as cc
+
+    p = pairs.select(
+        F.format_string("%019d", F.col(src).cast("long")).alias("src"),
+        F.format_string("%019d", F.col(dst).cast("long")).alias("dst"),
+    )
+    comp = cc.connected_components(p)
+    m = comp.select(
+        F.col("node").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("canonical_id"),
+    )
+    return (
+        docs.select(id_col)
+        .join(m, id_col, "left")
+        .withColumn("canonical_id", F.coalesce("canonical_id", F.col(id_col)))
+        .withColumn("keep", F.col(id_col) == F.col("canonical_id"))
+    )

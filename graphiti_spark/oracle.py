@@ -972,3 +972,9 @@ pmax AS (
   GROUP BY a.vec_id)
 SELECT q1.vec_id, round(0.5 * q1.qs + (0.5 - 1) * coalesce(p.mo, 0), 4) AS score
 FROM qsim q1 LEFT JOIN pmax p ON p.vec_id = q1.vec_id"""
+
+DEDUP_RESOLVE_DOCUMENTS = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+FROM documents"""

@@ -46,6 +46,22 @@ def test_jaccard_exact_values(spark, toy_docs):
     assert 0.5 < d[(1, 3)] < 1.0
 
 
+def test_dedup_resolve_transitive(spark, toy_docs):
+    """Pair graph (1,2) + (2,3) must resolve 1,2,3 to canonical 1 via
+    connected components (transitive closure a pairwise join can't
+    give); unpaired docs keep themselves."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = ddp.dedup_resolve(toy_docs, pairs).toPandas().set_index("doc_id")
+    assert got.loc[1, "canonical_id"] == 1 and bool(got.loc[1, "keep"])
+    assert got.loc[2, "canonical_id"] == 1 and not bool(got.loc[2, "keep"])
+    assert got.loc[3, "canonical_id"] == 1 and not bool(got.loc[3, "keep"])
+    assert got.loc[4, "canonical_id"] == 4 and bool(got.loc[4, "keep"])
+    # composes with a real pair source: minhash pairs over the toy corpus
+    mh = ddp.minhash_pairs(toy_docs, threshold=0.5).select("src", "dst")
+    got2 = ddp.dedup_resolve(toy_docs, mh).toPandas()
+    assert int(got2["keep"].sum()) < len(got2)  # something was dropped
+
+
 def test_simhash_near_dups_close(spark, toy_docs):
     got = ddp.simhash(toy_docs).toPandas().set_index("doc_id")["simhash"].to_dict()
     assert got[1] == got[2]
