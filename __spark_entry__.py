@@ -639,6 +639,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann.lsh_bucket_topk(probes, embs, k=5)
 
 
+def q_multimodal_resize(spark, sf_dir):
+    media = mm.synth_media(spark, 64)
+    out = mm.resize_plan(media, 32, 32)
+    return out.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("payload").alias("payload_len"),
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     probes = embs.filter("vec_id < 4").select(F.col("vec_id").alias("qid"), "embedding")
@@ -757,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes_page": q_kg_nodes_page,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_resolve_documents": q_dedup_resolve_documents,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 

@@ -121,6 +121,70 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+ResizeBackend = Callable[[bytes, int, int, int, int], bytes]
+"""(payload, src_w, src_h, dst_w, dst_h) → resized payload bytes."""
+
+
+def real_resize_backend(payload: bytes, sw: int, sh: int, dw: int, dh: int) -> bytes:
+    """Placeholder for a PIL/cv2 resample. Not available here."""
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; use fake_resize_backend"
+    )
+
+
+def fake_resize_backend(payload: bytes, sw: int, sh: int, dw: int, dh: int) -> bytes:
+    """Deterministic stand-in: scales payload length by the pixel ratio
+    (repeat/truncate) so batch shapes, binary round-trip, and metadata
+    rewrite are exercised with reproducible output."""
+    if not payload or not (sw and sh):
+        return b""
+    target = max(1, int(len(payload) * (dw * dh) / (sw * sh)))
+    reps = (target + len(payload) - 1) // len(payload)
+    return (payload * reps)[:target]
+
+
+def resize_plan(
+    media: DataFrame,
+    dst_w: int,
+    dst_h: int,
+    backend: ResizeBackend = fake_resize_backend,
+) -> DataFrame:
+    """Image resize over the binary column: MEDIA_SCHEMA in →
+    MEDIA_SCHEMA out with `payload` resized and `meta.width/height`
+    rewritten; non-image rows pass through untouched. mapInPandas keeps
+    one Python crossing per Arrow batch and bytes end-to-end (the
+    brief's resize step; same pluggable-backend seam as decode).
+    Shuffle-free — a pure per-partition map, so it composes with any
+    upstream partitioning."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                m = dict(m) if m is not None else {}
+                if k == "image":
+                    p = backend(
+                        bytes(p) if p is not None else b"",
+                        int(m.get("width") or 0),
+                        int(m.get("height") or 0),
+                        dst_w,
+                        dst_h,
+                    )
+                    m["width"], m["height"] = dst_w, dst_h
+                out_payload.append(p)
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests/bench."""
     rows = []

@@ -134,6 +134,31 @@ def test_multimodal_plumbing(spark):
 def test_real_decode_backend_raises():
     with pytest.raises(NotImplementedError):
         mm.real_decode_backend(b"xx", "image")
+    with pytest.raises(NotImplementedError):
+        mm.real_resize_backend(b"xx", 4, 4, 2, 2)
+
+
+def test_multimodal_resize_plan(spark):
+    media = mm.synth_media(spark, 12)
+    out = mm.resize_plan(media, 32, 32).toPandas().set_index("media_id")
+    src = media.toPandas().set_index("media_id")
+    for mid in src.index:
+        kind = src.loc[mid, "kind"]
+        if kind == "image":
+            assert out.loc[mid, "meta"]["width"] == 32
+            assert out.loc[mid, "meta"]["height"] == 32
+            sw, sh = src.loc[mid, "meta"]["width"], src.loc[mid, "meta"]["height"]
+            exp = max(1, int(len(src.loc[mid, "payload"]) * (32 * 32) / (sw * sh)))
+            assert len(out.loc[mid, "payload"]) == exp
+        else:  # non-image rows pass through byte-identical
+            assert bytes(out.loc[mid, "payload"]) == bytes(src.loc[mid, "payload"])
+            assert out.loc[mid, "meta"]["width"] == src.loc[mid, "meta"]["width"]
+    # output schema equals input schema → composes with downstream decode
+    assert mm.resize_plan(media, 32, 32).schema == media.schema
+    # deterministic
+    a = mm.resize_plan(media, 32, 32).toPandas().sort_values("media_id")
+    b = mm.resize_plan(mm.synth_media(spark, 12), 32, 32).toPandas().sort_values("media_id")
+    assert [bytes(x) for x in a["payload"]] == [bytes(x) for x in b["payload"]]
 
 
 def _planted_vectors(spark, n=200, dim=64, n_dups=40, seed=7):

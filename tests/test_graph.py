@@ -163,3 +163,17 @@ def test_dedupe_blocking_df_cap_bounds_pairs(spark):
     # uncapped blocking on the same input: the Corp block is quadratic
     uncapped = dd.candidate_pairs(entities).toPandas()
     assert len(uncapped) == 40 * 39 // 2 + 1
+
+
+def test_pipeline_empty_input(spark):
+    """Empty transcripts through the full pipeline: every table comes
+    back empty with its schema intact, no stage throws (robustness —
+    a real ingest sees empty partitions/batches routinely)."""
+    empty = spark.createDataFrame([], schema=TS)
+    tables = pl.build_graph(empty, with_embeddings=True)
+    for name in ["episodes", "nodes", "edges", "mentions", "uuid_map"]:
+        assert tables[name].count() == 0, name
+    assert {f.name for f in tables["edges"].schema} >= {
+        "uuid", "source_node_uuid", "target_node_uuid", "name", "fact",
+        "valid_at", "invalid_at", "created_at", "expired_at",
+    }
