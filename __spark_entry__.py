@@ -811,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": oracle.DEDUP_EXACT_DOCUMENTS,
         "minhash_pairs_documents": oracle.minhash_pairs_sql(),
         "simhash_documents": oracle.simhash_sql(),
+        "simhash_pairs_documents": oracle.simhash_pairs_sql(),
         "jaccard_pairs_documents": oracle.jaccard_pairs_sql(),
         "lang_id_documents": oracle.LANG_ID_DOCUMENTS,
         "quality_documents": oracle.QUALITY_DOCUMENTS,

@@ -122,20 +122,42 @@ def simhash(df: DataFrame, text_col: str = "text", n_bits: int = 16) -> DataFram
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16, max_hamming: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    max_hamming: int = 2,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on half-
-    fingerprint bands (a pair within hamming ≤ 2 of 16 bits collides on
-    at least one 8-bit half)."""
+    """Near-dup pairs by SimHash hamming distance, blocked on
+    fingerprint bands. Pigeonhole: flipping ≤ n_bands−1 bits leaves at
+    least one band untouched, so with the default
+    `n_bands = max_hamming + 1` the blocked result EQUALS the all-pairs
+    result (oracle-checkable) while the join stays an equi-join on
+    (band, band value). The r3 half-band split violated this for pairs
+    with one flipped bit in EACH half (hamming 2, zero collisions) —
+    r4 fix."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bits % n_bands:
+        raise ValueError(f"n_bands {n_bands} must divide n_bits {n_bits}")
+    band_bits = n_bits // n_bands
     s = simhash(df, text_col, n_bits).select(F.col(id_col).alias("id"), "simhash")
-    half = 1 << (n_bits // 2)
     bands = s.select(
         "id",
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band"), (F.col("simhash") % half).alias("h")),
-                F.struct(F.lit(1).alias("band"), (F.col("simhash") / half).cast("long").alias("h")),
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            (F.col("simhash") / (1 << (i * band_bits))).cast("long")
+                            % (1 << band_bits)
+                        ).alias("h"),
+                    )
+                    for i in range(n_bands)
+                ]
             )
         ).alias("bh"),
     ).select("id", "simhash", "bh.band", "bh.h")

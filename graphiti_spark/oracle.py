@@ -874,7 +874,7 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({any_eq})
 WHERE ({match_sum}) / {float(n_hashes)} >= {threshold}"""
 
 
-def simhash_sql(n_bits: int = 16) -> str:
+def _simhash_total(n_bits: int) -> str:
     hexd = "0123456789abcdef"
     bits = []
     for b in range(n_bits):
@@ -884,10 +884,26 @@ def simhash_sql(n_bits: int = 16) -> str:
             f"THEN 1 ELSE -1 END))"
         )
         bits.append(f"CASE WHEN coalesce({vote}, 0) > 0 THEN {1 << b} ELSE 0 END")
-    total = " + ".join(bits)
+    return " + ".join(bits)
+
+
+def simhash_sql(n_bits: int = 16) -> str:
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
-SELECT doc_id, cast({total} AS bigint) AS simhash FROM t"""
+SELECT doc_id, cast({_simhash_total(n_bits)} AS bigint) AS simhash FROM t"""
+
+
+def simhash_pairs_sql(n_bits: int = 16, max_hamming: int = 3) -> str:
+    """All-pairs hamming oracle. Exactness of the Spark side's band
+    blocking is the pigeonhole guarantee (n_bands = max_hamming + 1),
+    so the O(n²) oracle join and the blocked equi-join must agree."""
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, cast({_simhash_total(n_bits)} AS bigint) AS simhash FROM t)
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
 def jaccard_pairs_sql(threshold: float = 0.5) -> str:

@@ -46,6 +46,26 @@ def test_jaccard_exact_values(spark, toy_docs):
     assert 0.5 < d[(1, 3)] < 1.0
 
 
+def test_simhash_pairs_match_bruteforce(spark, sf_dir):
+    """Band blocking with n_bands = max_hamming + 1 is EXACT by
+    pigeonhole — the blocked equi-join must return precisely the
+    all-pairs hamming ≤ k set (the r3 half-band split missed pairs
+    with one flipped bit in each half)."""
+    import itertools
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = ddp.simhash_pairs(docs, max_hamming=3).toPandas()
+    fp = ddp.simhash(docs).toPandas().set_index("doc_id")["simhash"].to_dict()
+    exact = {
+        (a, b): bin(int(fp[a]) ^ int(fp[b])).count("1")
+        for a, b in itertools.combinations(sorted(fp), 2)
+        if bin(int(fp[a]) ^ int(fp[b])).count("1") <= 3
+    }
+    assert {(int(r.src), int(r.dst)): int(r.hamming) for r in got.itertuples()} == exact
+    with pytest.raises(ValueError):
+        ddp.simhash_pairs(docs, max_hamming=2, n_bands=5)  # 5 ∤ 16
+
+
 def test_dedup_resolve_transitive(spark, toy_docs):
     """Pair graph (1,2) + (2,3) must resolve 1,2,3 to canonical 1 via
     connected components (transitive closure a pairwise join can't
