@@ -704,13 +704,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_episodes": q_kg_episodes,
-        "kg_prev_window": q_kg_prev_window,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_mention_counts": q_kg_mention_counts,
         "kg_edges": q_kg_edges,
-        "kg_retrieve_episodes": q_kg_retrieve_episodes,
         "kg_node_summaries": q_kg_node_summaries,
         "kg_orphan_entities": q_kg_orphan_entities,
         "kg_duplicate_of": q_kg_duplicate_of,
@@ -730,7 +728,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_episode_subgraph": q_kg_episode_subgraph,
         "kg_remove_episode": q_kg_remove_episode,
         "kg_add_triplets": q_kg_add_triplets,
-        "topk_events_per_user": q_topk_events_per_user,
         "join_nation_revenue": q_join_nation_revenue,
         "rrf_user_rankings": q_rrf_user_rankings,
         "search_filter_events": q_search_filter_events,
@@ -753,12 +750,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "embed_dup_pairs_lsh": q_embed_dup_pairs_lsh,
         "multimodal_frame_plan": q_multimodal_frame_plan,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_resolve_documents": q_dedup_resolve_documents,
+        "multimodal_resize": q_multimodal_resize,
         # --- Entries below sit past the driver's 50-query correctness
         # window by design: each was driver-green (rows+schema+hash)
         # in CORRECTNESS_r01..r03 and is demoted here so that the
         # queries above — which the driver had never checked through
         # round 3 — get driver-recorded rows.  scripts/check_oracle.py
         # still verifies ALL entries, including these.
+        "kg_prev_window": q_kg_prev_window,
+        "kg_retrieve_episodes": q_kg_retrieve_episodes,
+        "topk_events_per_user": q_topk_events_per_user,
         "kg_mentions_rerank": q_kg_mentions_rerank,
         "kg_mentions_mixed": q_kg_mentions_mixed,
         "kg_triples_mixed": q_kg_triples_mixed,
@@ -767,9 +770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_value": q_window_running_value,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "kg_nodes_page": q_kg_nodes_page,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "dedup_resolve_documents": q_dedup_resolve_documents,
-        "multimodal_resize": q_multimodal_resize,
     }
 
 
