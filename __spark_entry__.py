@@ -26,6 +26,7 @@ from graphiti_spark.operators import attributes as attr
 from graphiti_spark.operators import dataset_ann as ann
 from graphiti_spark.operators import edge_resolution as er
 from graphiti_spark.operators import dataset_dedup as ddp
+from graphiti_spark.operators import dataset_mix as dmx
 from graphiti_spark.operators import dataset_text as dtx
 from graphiti_spark.operators import dedupe as dd
 from graphiti_spark.operators import episodes as ep_ops
@@ -595,6 +596,57 @@ def q_fingerprint_documents(spark, sf_dir):
     return dtx.fingerprint(_read(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
 
+def q_repetition_documents(spark, sf_dir):
+    return dtx.repetition_signals(_read(spark, sf_dir, "documents"))
+
+
+def q_pii_documents(spark, sf_dir):
+    return dtx.pii_signals(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "n_ssn", "has_pii", "redacted_md5"
+    )
+
+
+def q_paragraph_dups_documents(spark, sf_dir):
+    # the synthetic documents are single-line word soup (no newlines),
+    # so derive pseudo-paragraphs by chunking into 6-token lines —
+    # exercises the operator non-trivially (mirrored in the oracle)
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.trim("text")), "\\s+"), lambda t: t != "").alias("tk"),
+    )
+    chunked = toks.select(
+        "doc_id",
+        F.when(
+            F.size("tk") > 0,
+            F.expr(
+                "array_join(transform(sequence(0, int(ceil(size(tk) / 6.0)) - 1),"
+                " i -> concat_ws(' ', slice(tk, i * 6 + 1, 6))), '\n')"
+            ),
+        ).otherwise(F.lit("")).alias("text"),
+    )
+    return ddp.paragraph_dups(chunked)
+
+
+def q_contamination_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    # deterministic stand-in benchmark: every 50th document (mirrored
+    # in oracle.CONTAMINATION_DOCUMENTS)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return ddp.contamination(docs, bench)
+
+
+def q_sample_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dmx.stratified_sample(
+        docs, oracle.MIX_RATES, default_rate=oracle.MIX_DEFAULT_RATE
+    ).select("doc_id", "source", "lang")
+
+
+def q_pack_sequences_documents(spark, sf_dir):
+    return dmx.pack_sequences(_read(spark, sf_dir, "documents"), seq_len=128)
+
+
 def q_ann_topk(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     probes = embs.filter("vec_id < 4").select(F.col("vec_id").alias("qid"), "embedding")
@@ -709,18 +761,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": q_kg_nodes,
         "kg_mention_counts": q_kg_mention_counts,
         "kg_edges": q_kg_edges,
-        "kg_node_summaries": q_kg_node_summaries,
-        "kg_orphan_entities": q_kg_orphan_entities,
         "kg_duplicate_of": q_kg_duplicate_of,
         "kg_canonical_map": q_kg_canonical_map,
         "kg_cross_batch_map": q_kg_cross_batch_map,
         "kg_typed_nodes": q_kg_typed_nodes,
         "kg_typed_edges": q_kg_typed_edges,
         "kg_edges_canonical": q_kg_edges_canonical,
-        "kg_edge_candidates": q_kg_edge_candidates,
         "kg_bfs": q_kg_bfs,
         "kg_node_distance": q_kg_node_distance,
-        "kg_context": q_kg_context,
         "kg_uuid_map_alias": q_kg_uuid_map_alias,
         "kg_communities": q_kg_communities,
         "kg_search_hybrid": q_kg_search_hybrid,
@@ -728,8 +776,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_episode_subgraph": q_kg_episode_subgraph,
         "kg_remove_episode": q_kg_remove_episode,
         "kg_add_triplets": q_kg_add_triplets,
-        "join_nation_revenue": q_join_nation_revenue,
-        "rrf_user_rankings": q_rrf_user_rankings,
         "search_filter_events": q_search_filter_events,
         "bm25_documents": q_bm25_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -740,6 +786,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": q_quality_documents,
         "token_counts_documents": q_token_counts_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "repetition_documents": q_repetition_documents,
+        "pii_documents": q_pii_documents,
+        "paragraph_dups_documents": q_paragraph_dups_documents,
+        "contamination_documents": q_contamination_documents,
+        "sample_documents": q_sample_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
         "ann_topk": q_ann_topk,
         "ann_bruteforce_single": q_ann_bruteforce_single,
         "mmr_embeddings": q_mmr_embeddings,
@@ -759,9 +811,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries above — which the driver had never checked through
         # round 3 — get driver-recorded rows.  scripts/check_oracle.py
         # still verifies ALL entries, including these.
+        "kg_edge_candidates": q_kg_edge_candidates,
+        "kg_context": q_kg_context,
         "kg_prev_window": q_kg_prev_window,
         "kg_retrieve_episodes": q_kg_retrieve_episodes,
         "topk_events_per_user": q_topk_events_per_user,
+        "join_nation_revenue": q_join_nation_revenue,
+        "kg_node_summaries": q_kg_node_summaries,
+        "kg_orphan_entities": q_kg_orphan_entities,
+        "rrf_user_rankings": q_rrf_user_rankings,
         "kg_mentions_rerank": q_kg_mentions_rerank,
         "kg_mentions_mixed": q_kg_mentions_mixed,
         "kg_triples_mixed": q_kg_triples_mixed,
@@ -817,6 +875,12 @@ def oracle_sql() -> dict[str, str]:
         "quality_documents": oracle.QUALITY_DOCUMENTS,
         "token_counts_documents": oracle.TOKEN_COUNTS_DOCUMENTS,
         "fingerprint_documents": oracle.FINGERPRINT_DOCUMENTS,
+        "repetition_documents": oracle.REPETITION_DOCUMENTS,
+        "pii_documents": oracle.PII_DOCUMENTS,
+        "paragraph_dups_documents": oracle.PARAGRAPH_DUPS_DOCUMENTS,
+        "contamination_documents": oracle.CONTAMINATION_DOCUMENTS,
+        "sample_documents": oracle.SAMPLE_DOCUMENTS,
+        "pack_sequences_documents": oracle.PACK_SEQUENCES_DOCUMENTS,
         "ann_topk": oracle.ANN_TOPK,
         "ann_bruteforce_single": oracle.ANN_BRUTEFORCE_SINGLE,
         "mmr_embeddings": oracle.MMR_EMBEDDINGS,

@@ -319,3 +319,94 @@ def dedup_resolve(
         .withColumn("canonical_id", F.coalesce("canonical_id", F.col(id_col)))
         .withColumn("keep", F.col(id_col) == F.col("canonical_id"))
     )
+
+
+def paragraph_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document exact paragraph dedup — the practical granular
+    alternative to suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    normalized paragraphs (here: lines, trimmed + lowercased, at least
+    `min_chars` chars) that repeat across the corpus. Returns one row
+    per duplicated paragraph: (para_hash, dup_count, n_docs,
+    exemplar_doc) with dup_count >= min_count.
+
+    Scale: explode → single groupBy(md5(paragraph)) with map-side
+    partial aggregation — one shuffle whose width is the distinct
+    paragraph count, never quadratic; the md5 key is uniformly
+    distributed so the shuffle cannot skew. The downstream redaction
+    join (drop repeated boilerplate from each doc) is an equi-join on
+    the same hash."""
+    paras = (
+        df.select(id_col, F.explode(F.split(F.col(text_col), "\n")).alias("para"))
+        .withColumn("para", F.lower(F.trim("para")))
+        .filter(F.length("para") >= min_chars)
+    )
+    return (
+        paras.groupBy(F.md5("para").alias("para_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("exemplar_doc"),
+        )
+        .filter(F.col("dup_count") >= min_count)
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by token n-gram collision — the
+    GPT-3/PaLM-style rule (Brown et al. 2020 §C): a training document
+    is contaminated when it shares any lowercase word n-gram with a
+    held-out evaluation document. Returns (doc_id, n_matched_ngrams,
+    contaminated) for every doc in `docs`.
+
+    Scale: benchmark n-grams are DISTINCT + broadcast (eval suites are
+    tiny next to a 100 TB corpus), so the probe is a broadcast hash
+    join against the exploded corpus grams — map-only, no shuffle of
+    the corpus side; the per-doc count aggregates on doc_id with
+    partial combine. Corpus grams are md5-hashed before the join so
+    the join key is fixed-width."""
+    def grams(d: DataFrame, keep_id: bool):
+        toks = d.select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), lambda t: t != ""
+            ).alias("_tk"),
+        )
+        g = F.when(
+            F.size("_tk") >= n,
+            F.expr(
+                f"transform(sequence(1, size(_tk) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(_tk, i, {n})))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = ([F.col(id_col)] if keep_id else []) + [F.explode(g).alias("gram")]
+        return toks.select(*cols)
+
+    bench_grams = F.broadcast(
+        grams(benchmark, keep_id=False).select(F.md5("gram").alias("gh")).distinct()
+    )
+    doc_grams = grams(docs, keep_id=True).select(id_col, F.md5("gram").alias("gh"))
+    hits = doc_grams.join(bench_grams, "gh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matched_ngrams")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_matched_ngrams", F.lit(0)).cast("long").alias("n_matched_ngrams"),
+            (F.coalesce("n_matched_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Training-mix construction operators: deterministic stratified
+sampling (source re-weighting) and GPT-style concat-and-chunk sequence
+packing. Both are pure codegen'd column/window expressions with exact
+DuckDB oracles — no randomness, no UDFs.
+
+These cover the last mile of a pre-training data pipeline: after
+filtering and dedup, corpora are re-weighted per source (e.g. books
+up-sampled, crawl down-sampled — Brown et al. 2020 §2.2 table 2.2) and
+packed into fixed-length token sequences (documents concatenated in a
+deterministic order, sliced every seq_len tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Resolution of the hash-threshold sampler: first 8 hex digits of md5
+# compared lexicographically (fixed-width lowercase hex orders exactly
+# like the 32-bit integer it encodes — true in both Spark and DuckDB).
+_HASH_SPACE = 16 ** 8
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """Map a sampling rate in [0, 1] to the 8-hex-digit threshold such
+    that P[substr(md5(key), 1, 8) < threshold] == rate (up to 2**-32).
+    Shared with the DuckDB oracle builder so both engines compare
+    against the identical literal."""
+    return format(min(max(int(rate * _HASH_SPACE), 0), _HASH_SPACE - 1), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling: a row is kept iff
+    the first 8 hex digits of md5('{salt}:{stratum}:{id}') fall below
+    the stratum's rate threshold. Unlike rand()-based sampling this is
+    reproducible across runs, engines, partitionings and retries — the
+    property a training-mix build actually needs (re-running the job
+    must yield the same corpus).
+
+    Scale: a map-only filter — no shuffle, no state; the parquet scan
+    prunes to (id, stratum) plus whatever columns the caller selects,
+    and speculative re-execution of a task cannot change membership.
+    Strata absent from `rates` fall back to `default_rate` (0.0 =
+    drop unknown sources, the safe default for a curated mix).
+    """
+    key = F.concat_ws(
+        ":", F.lit(salt), F.col(strat_col), F.col(id_col).cast("string")
+    )
+    bucket = F.substring(F.md5(key), 1, 8)
+
+    def keep_expr(rate: float):
+        if rate >= 1.0:
+            return F.lit(True)
+        if rate <= 0.0:
+            return F.lit(False)
+        return bucket < F.lit(rate_threshold_hex(rate))
+
+    cond = keep_expr(default_rate)
+    for stratum, rate in sorted(rates.items()):
+        cond = F.when(F.col(strat_col) == stratum, keep_expr(rate)).otherwise(cond)
+    return df.filter(cond)
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pre-training
+    layout): within each shard, documents are concatenated in
+    `order_col` order and the token stream is sliced every `seq_len`
+    tokens. Returns one row per document with its placement:
+    (shard, doc_id, n_tokens, start_off, first_seq, last_seq, n_seqs)
+    where seq ids are shard-local chunk indices and a document may span
+    several chunks.
+
+    Tokens are whitespace tokens here; swap in a real tokenizer's count
+    column upstream without changing the packing math.
+
+    Scale: ONE ordered window per shard — packing domains are shards
+    (in practice: one per data-parallel loader worker or input file
+    group), so the sort is `repartition(shard) + sortWithinPartitions`,
+    never a global single-partition order-by. Shard count scales with
+    the corpus; each window state is a single running long. A
+    whole-corpus ordered cumsum would serialize at 100 TB — this
+    deliberately does not offer one.
+    """
+    toks = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(order_col).alias("doc_id"),
+        F.size(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), lambda t: t != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    placed = toks.withColumn(
+        "start_off",
+        F.coalesce(F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+    )
+    first_seq = F.floor(F.col("start_off") / seq_len)
+    last_seq = F.when(
+        F.col("n_tokens") > 0,
+        F.floor((F.col("start_off") + F.col("n_tokens") - 1) / seq_len),
+    ).otherwise(first_seq)
+    return placed.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        F.when(F.col("n_tokens") > 0, last_seq - first_seq + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_seqs"),
+    )

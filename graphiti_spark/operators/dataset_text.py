@@ -5,7 +5,7 @@ expressions (codegen'd, oracle-mirrorable in DuckDB).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphiti_spark.functions import text as tx
@@ -78,6 +78,96 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    the standard pre-training repetition filters:
+
+    - ``dup_line_frac``       1 − distinct_lines / total_lines
+    - ``dup_line_char_frac``  chars in lines occurring >1× / line chars
+      (all occurrences of a duplicated line count, DataTrove convention)
+    - ``top_bigram``          most frequent word 2-gram (ties break
+      lexicographically — deterministic)
+    - ``top_bigram_char_frac`` occurrences × 2-gram non-space chars /
+      doc chars
+
+    Scale shape: two explode→groupBy(doc_id, …) aggregations with
+    map-side partial combine, re-joined on ``doc_id`` — the aggregation
+    outputs are already hash-partitioned on the join key, so the joins
+    reuse the exchange; no cross products, no UDFs, fully codegen'd.
+    Empty documents survive via left joins with zero-filled signals.
+    """
+    docs = df.select(id_col, F.col(text_col).alias("_txt")).withColumn(
+        "_n_chars", F.length("_txt")
+    )
+
+    # --- line duplication ---
+    lines = docs.select(
+        id_col, F.explode(F.split("_txt", "\n")).alias("line")
+    ).filter(F.trim("line") != "")
+    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("c"))
+    line_agg = per_line.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.round(F.lit(1.0) - F.count("*") / F.sum("c"), 4).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0))
+            / F.greatest(F.sum(F.col("c") * F.length("line")), F.lit(1)),
+            4,
+        ).alias("dup_line_char_frac"),
+    )
+
+    # --- top word-bigram mass ---
+    # ordered (non-distinct) lowercase tokens; element_at is 1-based to
+    # mirror DuckDB list indexing in the oracle
+    toks = docs.select(
+        id_col,
+        "_n_chars",
+        F.filter(F.split(F.lower(F.trim("_txt")), "\\s+"), lambda t: t != "").alias("_tk"),
+    )
+    bigrams = toks.select(
+        id_col,
+        "_n_chars",
+        F.explode(
+            F.when(
+                F.size("_tk") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(_tk) - 1),"
+                    " i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    bg_counts = bigrams.groupBy(id_col, "_n_chars", "bigram").agg(F.count("*").alias("c"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("bigram"))
+    top_bg = (
+        bg_counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("bigram").alias("top_bigram"),
+            F.round(
+                F.col("c")
+                * F.length(F.regexp_replace("bigram", " ", ""))
+                / F.greatest("_n_chars", F.lit(1)),
+                4,
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+    return (
+        docs.select(id_col)
+        .join(line_agg, id_col, "left")
+        .join(top_bg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_char_frac", F.lit(0.0)).alias("top_bigram_char_frac"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization-stable document fingerprint: md5 of lowercased,
     whitespace-collapsed, punctuation-stripped text (rolling-hash
@@ -86,3 +176,38 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""), " +", " ")
     )
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+# PII patterns shared verbatim with the DuckDB oracle — both Java
+# regex and RE2 accept this subset (no lookarounds, no backrefs).
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "phone": "[+]?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII scan + redaction, the compliance pass of a
+    training-data pipeline: count emails / US-style phone numbers /
+    IPv4 addresses / SSN-shaped ids and emit the md5 of the redacted
+    text (each match replaced by ``<CLASS>``). Pure codegen'd column
+    expressions — one scan per pattern, no shuffle, no UDFs; at 100 TB
+    this is a map-only stage that pushes the single-column read down
+    to the parquet scan. Redaction order (ssn → phone → ipv4 → email)
+    is fixed so overlapping matches resolve deterministically; counts
+    are measured on the ORIGINAL text, independent of that order."""
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)")).cast("long"),
+        )
+    red = F.col(text_col)
+    for name in ("ssn", "phone", "ipv4", "email"):
+        red = F.regexp_replace(red, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out.withColumn(
+        "has_pii",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") + F.col("n_ssn")) > 0,
+    ).withColumn("redacted_md5", F.md5(red))

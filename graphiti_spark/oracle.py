@@ -793,6 +793,167 @@ SELECT doc_id,
        cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bigint) AS subword_tokens
 FROM documents"""
 
+REPETITION_DOCUMENTS = """
+WITH lines AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS l
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)
+  WHERE trim(line) <> ''
+  GROUP BY doc_id, line),
+lagg AS (
+  SELECT doc_id,
+         cast(sum(c) AS bigint) AS n_lines,
+         round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_line_frac,
+         round(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) * 1.0
+               / greatest(sum(c * l), 1), 4) AS dup_line_char_frac
+  FROM lines GROUP BY doc_id),
+toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+  FROM documents),
+bg AS (
+  SELECT doc_id, n_chars,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks),
+bgc AS (
+  SELECT doc_id, n_chars, bigram, count(*) AS c
+  FROM bg GROUP BY doc_id, n_chars, bigram),
+top AS (
+  SELECT doc_id, bigram, c, n_chars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram ASC) AS rn
+  FROM bgc)
+SELECT d.doc_id,
+       coalesce(lagg.n_lines, 0) AS n_lines,
+       coalesce(lagg.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(lagg.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       coalesce(top.bigram, '') AS top_bigram,
+       coalesce(round(top.c * length(replace(top.bigram, ' ', '')) * 1.0
+                      / greatest(top.n_chars, 1), 4), 0.0) AS top_bigram_char_frac
+FROM documents d
+LEFT JOIN lagg ON d.doc_id = lagg.doc_id
+LEFT JOIN top ON d.doc_id = top.doc_id AND top.rn = 1"""
+
+def _pii_sql() -> str:
+    from graphiti_spark.operators.dataset_text import PII_PATTERNS as P
+
+    counts = ",\n       ".join(
+        f"cast(len(regexp_extract_all(text, '{pat}')) AS bigint) AS n_{name}"
+        for name, pat in P.items()
+    )
+    red = "text"
+    for name in ("ssn", "phone", "ipv4", "email"):
+        red = f"regexp_replace({red}, '{P[name]}', '<{name.upper()}>', 'g')"
+    total = " + ".join(f"len(regexp_extract_all(text, '{pat}'))" for pat in P.values())
+    return f"""
+SELECT doc_id,
+       {counts},
+       ({total}) > 0 AS has_pii,
+       md5({red}) AS redacted_md5
+FROM documents"""
+
+
+PII_DOCUMENTS = _pii_sql()
+
+# pseudo-paragraphs: the synthetic docs are single-line word soup, so
+# the driver query chunks each doc into 6-token lines first (mirrored
+# in __spark_entry__.q_paragraph_dups_documents)
+PARAGRAPH_DUPS_DOCUMENTS = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+  FROM documents),
+paras AS (
+  SELECT doc_id, lower(trim(para)) AS para
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(0, cast(ceil(len(tk) / 6.0) AS int)),
+                                     i -> array_to_string(tk[i*6+1 : i*6+6], ' '))) AS para
+        FROM tk)
+  WHERE length(lower(trim(para))) >= 20)
+SELECT md5(para) AS para_hash,
+       cast(count(*) AS bigint) AS dup_count,
+       cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+       min(doc_id) AS exemplar_doc
+FROM paras GROUP BY para
+HAVING count(*) >= 2"""
+
+# 8-gram decontamination: benchmark = every 50th doc, mirrored in
+# __spark_entry__.q_contamination_documents
+CONTAMINATION_DOCUMENTS = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - 6),
+                               i -> array_to_string(tk[i:i+7], ' '))) AS gram
+  FROM tk),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_matched_ngrams
+  FROM grams g JOIN bench b USING (gram)
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       cast(coalesce(h.n_matched_ngrams, 0) AS bigint) AS n_matched_ngrams,
+       coalesce(h.n_matched_ngrams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+# Canonical benchmark training-mix rates, shared with
+# __spark_entry__.q_sample_documents — sources absent from the dict
+# fall back to MIX_DEFAULT_RATE.
+MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+MIX_DEFAULT_RATE = 0.05
+
+
+def _sample_sql() -> str:
+    from graphiti_spark.operators.dataset_mix import rate_threshold_hex
+
+    bucket = "substr(md5(concat_ws(':', 'mix', source, cast(doc_id AS varchar))), 1, 8)"
+
+    def keep(rate: float) -> str:
+        if rate >= 1.0:
+            return "TRUE"
+        if rate <= 0.0:
+            return "FALSE"
+        return f"{bucket} < '{rate_threshold_hex(rate)}'"
+
+    whens = "\n  ".join(
+        f"WHEN source = '{s}' THEN {keep(r)}" for s, r in sorted(MIX_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE CASE
+  {whens}
+  ELSE {keep(MIX_DEFAULT_RATE)}
+END"""
+
+
+SAMPLE_DOCUMENTS = _sample_sql()
+
+# seq_len = 128, shard = source, order = doc_id — mirrored in
+# __spark_entry__.q_pack_sequences_documents
+PACK_SEQUENCES_DOCUMENTS = """
+WITH toks AS (
+  SELECT source AS shard, doc_id,
+         cast(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              t -> t <> '')) AS bigint) AS n_tokens
+  FROM documents),
+placed AS (
+  SELECT shard, doc_id, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS start_off
+  FROM toks)
+SELECT shard, doc_id, n_tokens, start_off,
+       cast(floor(start_off / 128.0) AS bigint) AS first_seq,
+       cast(CASE WHEN n_tokens > 0
+                 THEN floor((start_off + n_tokens - 1) / 128.0)
+                 ELSE floor(start_off / 128.0) END AS bigint) AS last_seq,
+       cast(CASE WHEN n_tokens > 0
+                 THEN floor((start_off + n_tokens - 1) / 128.0) - floor(start_off / 128.0) + 1
+                 ELSE 0 END AS bigint) AS n_seqs
+FROM placed"""
+
 _STOP_EN = "['the','and','of','to','a','in','is','it','you','that']"
 _STOP = {
     "en": _STOP_EN,

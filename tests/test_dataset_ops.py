@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from graphiti_spark.operators import dataset_ann as ann
 from graphiti_spark.operators import dataset_dedup as ddp
+from graphiti_spark.operators import dataset_mix as dmx
 from graphiti_spark.operators import dataset_text as dtx
 from graphiti_spark.operators import multimodal as mm
 
@@ -128,6 +129,116 @@ def test_text_analysis(spark):
     tc = dtx.token_counts(df).toPandas().set_index("doc_id")
     assert tc.loc[1, "ws_tokens"] == 12
     assert tc.loc[1, "subword_tokens"] == 14  # 12 alpha words + '.' + '!'
+
+
+def test_repetition_signals(spark):
+    rows = [
+        # 4 lines, "spam spam" duplicated twice → dup_line_frac = 1 - 3/4
+        (1, "spam spam\nunique line one\nspam spam\nanother line"),
+        (2, "all lines distinct\nno repetition here"),
+        (3, ""),  # empty doc survives with zero-filled signals
+        (4, "go go go go"),  # top bigram "go go" occurs 3×
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dtx.repetition_signals(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_lines"] == 4
+    assert got.loc[1, "dup_line_frac"] == pytest.approx(0.25)
+    # duplicated-line chars = 2 × len("spam spam") = 18 of 18+15+12 = 45
+    assert got.loc[1, "dup_line_char_frac"] == pytest.approx(0.4, abs=1e-4)
+    assert got.loc[2, "dup_line_frac"] == 0.0
+    assert got.loc[3, "n_lines"] == 0 and got.loc[3, "top_bigram"] == ""
+    assert got.loc[4, "top_bigram"] == "go go"
+    # 3 occurrences × 4 non-space chars / 11 doc chars
+    assert got.loc[4, "top_bigram_char_frac"] == pytest.approx(round(12 / 11, 4))
+
+
+def test_pii_signals(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@example.co.uk or call 555-123-4567"),
+        (2, "server 10.0.255.3 holds ssn 123-45-6789"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dtx.pii_signals(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_email"] == 1 and got.loc[1, "n_phone"] == 1
+    assert got.loc[2, "n_ipv4"] == 1 and got.loc[2, "n_ssn"] == 1
+    assert bool(got.loc[3, "has_pii"]) is False
+    # redaction actually removed the matches: md5 differs from raw text
+    # for PII rows, equals raw-text md5 for the clean row
+    raw = df.select("doc_id", F.md5("text").alias("m")).toPandas().set_index("doc_id")["m"]
+    assert got.loc[1, "redacted_md5"] != raw[1]
+    assert got.loc[3, "redacted_md5"] == raw[3]
+
+
+def test_paragraph_dups_cross_doc(spark):
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"unique intro line number one\n{boiler}"),
+        (2, f"{boiler}\nsome other body text entirely"),
+        (3, "short\nno repeats in this document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ddp.paragraph_dups(df).toPandas()
+    assert len(got) == 1
+    assert int(got.iloc[0]["dup_count"]) == 2
+    assert int(got.iloc[0]["n_docs"]) == 2
+    assert int(got.iloc[0]["exemplar_doc"]) == 1
+
+
+def test_contamination_ngram(spark):
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        # contains the benchmark's first 8-gram verbatim
+        (1, "prefix words alpha bravo charlie delta echo foxtrot golf hotel trailing"),
+        (2, "completely unrelated text with no overlap whatsoever at all present"),
+        (3, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    got = ddp.contamination(docs, bench).toPandas().set_index("doc_id")
+    assert bool(got.loc[1, "contaminated"]) and got.loc[1, "n_matched_ngrams"] == 1
+    assert not bool(got.loc[2, "contaminated"])
+    assert not bool(got.loc[3, "contaminated"])  # < n tokens → no grams
+
+
+def test_stratified_sample(spark):
+    rows = [(i, f"doc {i}", "a" if i < 200 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # hard rates: keep-all and drop-all are exact
+    got = dmx.stratified_sample(df, {"a": 1.0, "b": 0.0}).toPandas()
+    assert len(got) == 200 and set(got["source"]) == {"a"}
+    # fractional rate: deterministic across calls, roughly proportional
+    s1 = dmx.stratified_sample(df, {"a": 0.5, "b": 0.5}).toPandas()
+    s2 = dmx.stratified_sample(df, {"a": 0.5, "b": 0.5}).toPandas()
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+    assert 90 <= len(s1) <= 210  # 300 × 0.5 ± generous hash noise
+    # unknown stratum honors default_rate
+    extra = spark.createDataFrame([(999, "x", "c")], "doc_id long, text string, source string")
+    assert dmx.stratified_sample(extra, {"a": 1.0}, default_rate=0.0).count() == 0
+    assert dmx.stratified_sample(extra, {"a": 0.0}, default_rate=1.0).count() == 1
+
+
+def test_pack_sequences(spark):
+    rows = [
+        (1, "a b c", "s1"),          # 3 tokens: offsets 0-2, seq 0
+        (2, "d e f g", "s1"),        # 4 tokens: offsets 3-6, spans seqs 0-1
+        (3, "h i", "s1"),            # 2 tokens: offsets 7-8, seq 1
+        (4, "", "s1"),               # empty: n_seqs 0
+        (5, "z z z z z z", "s2"),    # other shard packs independently from 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = (
+        dmx.pack_sequences(df, seq_len=5).toPandas().set_index("doc_id")
+    )
+    assert got.loc[1, "start_off"] == 0 and got.loc[1, "first_seq"] == 0 and got.loc[1, "last_seq"] == 0
+    assert got.loc[2, "start_off"] == 3 and got.loc[2, "first_seq"] == 0 and got.loc[2, "last_seq"] == 1
+    assert got.loc[2, "n_seqs"] == 2
+    assert got.loc[3, "first_seq"] == 1 and got.loc[3, "last_seq"] == 1
+    assert got.loc[4, "n_tokens"] == 0 and got.loc[4, "n_seqs"] == 0
+    assert got.loc[5, "start_off"] == 0 and got.loc[5, "shard"] == "s2"
+    # token conservation within a shard: last doc's end == total tokens
+    s1 = got[got["shard"] == "s1"]
+    assert (s1["start_off"] + s1["n_tokens"]).max() == s1["n_tokens"].sum()
 
 
 def test_fingerprint_normalization(spark):
