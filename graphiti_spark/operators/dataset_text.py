@@ -168,14 +168,21 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Normalization-stable document fingerprint: md5 of lowercased,
-    whitespace-collapsed, punctuation-stripped text (rolling-hash
-    analog for near-identical layout variants)."""
+def fingerprint_expr(text_col: str = "text") -> Column:
+    """Normalization-stable fingerprint expression: md5 of lowercased,
+    whitespace-collapsed, punctuation-stripped text. Shared by the
+    batch operator below and the streaming dedup
+    (streaming/stream.py) so both paths agree on document identity."""
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""), " +", " ")
     )
-    return df.withColumn("fingerprint", F.md5(norm))
+    return F.md5(norm)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization-stable document fingerprint (rolling-hash analog
+    for near-identical layout variants)."""
+    return df.withColumn("fingerprint", fingerprint_expr(text_col))
 
 
 # PII patterns shared verbatim with the DuckDB oracle — both Java

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphiti_spark import rules
+from graphiti_spark.operators import dataset_text as dtx
 from graphiti_spark.plans import pipeline as pl
 from graphiti_spark.plans import materialize as mat
 from graphiti_spark.schemas import TRANSCRIPTS
@@ -133,6 +134,31 @@ def track_new_entities(stream: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup_documents(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup over a document stream — the streaming
+    analog of dataset_dedup.dedup_exact: the same normalization-stable
+    fingerprint expression as the batch operator
+    (dataset_text.fingerprint_expr), then dropDuplicatesWithinWatermark
+    so dedup state is BOUNDED by the watermark window instead of
+    growing with the corpus (a plain streaming dropDuplicates keeps
+    every key forever — a non-starter for an unbounded crawl feed).
+
+    A duplicate arriving inside the watermark is dropped; one arriving
+    after its original's state evicted re-emits, which downstream
+    idempotent merges absorb (the same at-least-once + idempotent-merge
+    contract the KG pipeline uses)."""
+    return (
+        stream.withWatermark(event_col, watermark)
+        .withColumn("fingerprint", dtx.fingerprint_expr(text_col))
+        .dropDuplicatesWithinWatermark(["fingerprint"])
     )
 
 

@@ -49,6 +49,51 @@ def test_windowed_counts(spark, tmp_path):
     assert got == 15
 
 
+def test_stream_dedup_documents(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered document in a later
+    micro-batch is dropped; layout variants collapse to one fingerprint."""
+    import datetime as _dt
+    import time as _time
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    schema = "doc_id long, text string, ts timestamp"
+    base = _dt.datetime(2025, 1, 1)
+    later = base + _dt.timedelta(minutes=1)
+    b1 = [(1, "Hello,   World!", base), (2, "something else", base)]
+    # doc 3 is a layout variant of doc 1 (same fingerprint), doc 4 fresh
+    b2 = [(3, "hello world", later), (4, "brand new content", later)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(in_dir))
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    out = st.stream_dedup_documents(src, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deduped_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select doc_id from deduped_docs").toPandas()
+    assert sorted(got["doc_id"]) == [1, 2, 4]  # 3 suppressed by state
+
+    # batch fingerprint agrees with the streaming one (shared expression)
+    from graphiti_spark.operators import dataset_text as dtx
+
+    fps = dtx.fingerprint(
+        spark.createDataFrame(b1 + b2, schema)
+    ).toPandas().set_index("doc_id")["fingerprint"]
+    assert fps[1] == fps[3] and fps[1] != fps[2]
+
+
 def test_stateful_new_entity_tracking(spark, tmp_path):
     """applyInPandasWithState: an entity is emitted exactly once per
     conversation even when its mentions span micro-batches."""
