@@ -54,6 +54,12 @@ def main() -> None:
         "ann_topk",
         "minhash_pairs_documents",
         "agg_lineitem_pricing",
+        "repetition_documents",
+        "pii_documents",
+        "paragraph_dups_documents",
+        "contamination_documents",
+        "sample_documents",
+        "pack_sequences_documents",
     ]:
         show(name, qs[name](spark, sf_dir))
     # pushdown sanity: projection+filter reaches the parquet scan
