@@ -103,6 +103,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     repl = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     levels = [int(x) for x in sys.argv[3:]] or [2, 8]
+    os.makedirs(EVDIR, exist_ok=True)
 
     for cores in levels:
         import time
