@@ -647,6 +647,10 @@ def q_pack_sequences_documents(spark, sf_dir):
     return dmx.pack_sequences(_read(spark, sf_dir, "documents"), seq_len=128)
 
 
+def q_pack_manifest_documents(spark, sf_dir):
+    return dmx.pack_manifest(_read(spark, sf_dir, "documents"), seq_len=128)
+
+
 def q_ann_topk(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     probes = embs.filter("vec_id < 4").select(F.col("vec_id").alias("qid"), "embedding")
@@ -776,7 +780,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_episode_subgraph": q_kg_episode_subgraph,
         "kg_remove_episode": q_kg_remove_episode,
         "kg_add_triplets": q_kg_add_triplets,
-        "search_filter_events": q_search_filter_events,
         "bm25_documents": q_bm25_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "minhash_pairs_documents": q_minhash_pairs_documents,
@@ -792,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": q_contamination_documents,
         "sample_documents": q_sample_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
+        "pack_manifest_documents": q_pack_manifest_documents,
         "ann_topk": q_ann_topk,
         "ann_bruteforce_single": q_ann_bruteforce_single,
         "mmr_embeddings": q_mmr_embeddings,
@@ -811,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries above — which the driver had never checked through
         # round 3 — get driver-recorded rows.  scripts/check_oracle.py
         # still verifies ALL entries, including these.
+        "search_filter_events": q_search_filter_events,
         "kg_edge_candidates": q_kg_edge_candidates,
         "kg_context": q_kg_context,
         "kg_prev_window": q_kg_prev_window,
@@ -881,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_documents": oracle.CONTAMINATION_DOCUMENTS,
         "sample_documents": oracle.SAMPLE_DOCUMENTS,
         "pack_sequences_documents": oracle.PACK_SEQUENCES_DOCUMENTS,
+        "pack_manifest_documents": oracle.PACK_MANIFEST_DOCUMENTS,
         "ann_topk": oracle.ANN_TOPK,
         "ann_bruteforce_single": oracle.ANN_BRUTEFORCE_SINGLE,
         "mmr_embeddings": oracle.MMR_EMBEDDINGS,

@@ -123,3 +123,46 @@ def pack_sequences(
         .cast("long")
         .alias("n_seqs"),
     )
+
+
+def pack_manifest(
+    df: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The loader-facing view of `pack_sequences`: one row per
+    (shard, seq_id, doc_id) span with the doc-local token range
+    [tok_start, tok_end) that sequence takes from that document —
+    exactly the manifest a data-parallel loader consumes to assemble
+    training sequence `seq_id` by concatenating its spans in doc
+    order. Invariants (pytest-checked): per-doc span lengths sum to
+    n_tokens; per-seq span lengths sum to seq_len (except each shard's
+    final partial sequence).
+
+    Scale: pack_sequences' per-shard window, then a narrow explode of
+    at most ceil(n_tokens/seq_len)+1 rows per document — no additional
+    shuffle; the explode preserves the shard partitioning."""
+    placed = pack_sequences(df, seq_len, shard_col, order_col, text_col)
+    spans = placed.filter(F.col("n_tokens") > 0).select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    return spans.select(
+        "shard",
+        "seq_id",
+        "doc_id",
+        (F.greatest(F.col("seq_id") * seq_len, F.col("start_off")) - F.col("start_off"))
+        .cast("long")
+        .alias("tok_start"),
+        (
+            F.least((F.col("seq_id") + 1) * seq_len, F.col("start_off") + F.col("n_tokens"))
+            - F.col("start_off")
+        )
+        .cast("long")
+        .alias("tok_end"),
+    )

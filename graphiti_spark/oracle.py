@@ -954,6 +954,28 @@ SELECT shard, doc_id, n_tokens, start_off,
                  ELSE 0 END AS bigint) AS n_seqs
 FROM placed"""
 
+# loader-facing manifest view of the packing above (seq_len = 128)
+PACK_MANIFEST_DOCUMENTS = """
+WITH toks AS (
+  SELECT source AS shard, doc_id,
+         cast(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              t -> t <> '')) AS bigint) AS n_tokens
+  FROM documents),
+placed AS (
+  SELECT shard, doc_id, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS start_off
+  FROM toks),
+spans AS (
+  SELECT shard, doc_id, n_tokens, start_off,
+         unnest(range(cast(floor(start_off / 128.0) AS bigint),
+                      cast(floor((start_off + n_tokens - 1) / 128.0) AS bigint) + 1)) AS seq_id
+  FROM placed WHERE n_tokens > 0)
+SELECT shard, seq_id, doc_id,
+       cast(greatest(seq_id * 128, start_off) - start_off AS bigint) AS tok_start,
+       cast(least((seq_id + 1) * 128, start_off + n_tokens) - start_off AS bigint) AS tok_end
+FROM spans"""
+
 _STOP_EN = "['the','and','of','to','a','in','is','it','you','that']"
 _STOP = {
     "en": _STOP_EN,

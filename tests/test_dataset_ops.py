@@ -240,6 +240,20 @@ def test_pack_sequences(spark):
     s1 = got[got["shard"] == "s1"]
     assert (s1["start_off"] + s1["n_tokens"]).max() == s1["n_tokens"].sum()
 
+    # loader-facing manifest: spans reconstruct every doc and fill
+    # every sequence to seq_len except each shard's final partial
+    man = dmx.pack_manifest(df, seq_len=5).toPandas()
+    man["span"] = man["tok_end"] - man["tok_start"]
+    per_doc = man.groupby("doc_id")["span"].sum()
+    assert per_doc.to_dict() == {1: 3, 2: 4, 3: 2, 5: 6}  # doc 4 empty → absent
+    # doc 2 spans seqs 0 and 1 with doc-local ranges [0,2) and [2,4)
+    d2 = man[man["doc_id"] == 2].sort_values("seq_id")
+    assert list(zip(d2["seq_id"], d2["tok_start"], d2["tok_end"])) == [(0, 0, 2), (1, 2, 4)]
+    per_seq = man.groupby(["shard", "seq_id"])["span"].sum().reset_index()
+    last = {s: per_seq[per_seq["shard"] == s]["seq_id"].max() for s in ("s1", "s2")}
+    for r in per_seq.itertuples():
+        assert r.span == 5 or r.seq_id == last[r.shard]
+
 
 def test_fingerprint_normalization(spark):
     rows = [(1, "Hello,   World!"), (2, "hello world"), (3, "other")]
