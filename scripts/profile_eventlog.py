@@ -30,6 +30,8 @@ cores = int(sys.argv[1]); sf_dir = sys.argv[2]; repl = int(sys.argv[3])
 spark = get_spark(app_name=f"ev_{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores,
                   extra_conf={{"spark.eventLog.enabled": "true",
+                              "spark.eventLog.compress": "false",
+                              "spark.eventLog.rolling.enabled": "false",
                               "spark.eventLog.dir": {evdir!r}}})
 
 def transcripts():
