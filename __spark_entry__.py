@@ -586,6 +586,10 @@ def q_quality_documents(spark, sf_dir):
     )
 
 
+def q_unigram_lm_documents(spark, sf_dir):
+    return dtx.unigram_lm_score(_read(spark, sf_dir, "documents"))
+
+
 def q_token_counts_documents(spark, sf_dir):
     return dtx.token_counts(_read(spark, sf_dir, "documents")).select(
         "doc_id", "ws_tokens", "subword_tokens"
@@ -833,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_value": q_window_running_value,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "kg_nodes_page": q_kg_nodes_page,
+        "unigram_lm_documents": q_unigram_lm_documents,
     }
 
 
@@ -881,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_documents": oracle.TOKEN_COUNTS_DOCUMENTS,
         "fingerprint_documents": oracle.FINGERPRINT_DOCUMENTS,
         "repetition_documents": oracle.REPETITION_DOCUMENTS,
+        "unigram_lm_documents": oracle.UNIGRAM_LM_DOCUMENTS,
         "pii_documents": oracle.PII_DOCUMENTS,
         "paragraph_dups_documents": oracle.PARAGRAPH_DUPS_DOCUMENTS,
         "contamination_documents": oracle.CONTAMINATION_DOCUMENTS,

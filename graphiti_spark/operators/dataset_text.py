@@ -168,6 +168,72 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al., LREC 2020): score
+    each document by its bits-per-token under an add-one-smoothed
+    unigram model estimated from the corpus itself — the standard
+    perplexity-bucket signal for pre-training curation (low bits ≈
+    fluent/common text, high bits ≈ rare-token soup). Deterministic, no
+    external LM.
+
+    p(t) = (c_t + 1) / (N + V) over corpus token count N and vocab
+    size V; ``bits_per_token`` = Σ c_dt·(−log2 p(t)) / Σ c_dt.
+
+    Scale shape: one explode feeding two hash aggregations with
+    map-side partial combine — per-(doc, token) counts, then the vocab
+    re-aggregated FROM those counts (so the token-keyed shuffle moves
+    ≤ one row per distinct (doc, token), not per occurrence) — a 1-row
+    totals frame folded in via broadcast crossJoin, and an equi-join of
+    the (doc, token) counts to the vocab on token. Joining aggregated
+    counts bounds stop-word fan-in (df skew) and AQE skew-join covers
+    the residual; empty documents survive via the final left join. No
+    UDFs — codegen'd end-to-end.
+    """
+    from pyspark.sql.functions import broadcast
+
+    dt = (
+        df.select(
+            id_col,
+            F.explode(
+                F.filter(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), lambda t: t != "")
+            ).alias("token"),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = dt.groupBy("token").agg(F.sum("c").alias("c_t"))
+    totals = vocab.agg(
+        F.sum("c_t").alias("n_total"), F.count("*").alias("v_size")
+    )
+    scored = (
+        dt.join(vocab, "token")
+        .crossJoin(broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("c")
+                    * -F.log2((F.col("c_t") + 1) / (F.col("n_total") + F.col("v_size")))
+                )
+                / F.sum("c"),
+                4,
+            ).alias("bits_per_token"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("bits_per_token", F.lit(0.0)).alias("bits_per_token"),
+        )
+    )
+
+
 def fingerprint_expr(text_col: str = "text") -> Column:
     """Normalization-stable fingerprint expression: md5 of lowercased,
     whitespace-collapsed, punctuation-stripped text. Shared by the

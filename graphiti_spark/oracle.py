@@ -832,6 +832,29 @@ FROM documents d
 LEFT JOIN lagg ON d.doc_id = lagg.doc_id
 LEFT JOIN top ON d.doc_id = top.doc_id AND top.rn = 1"""
 
+UNIGRAM_LM_DOCUMENTS = """
+WITH dt AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents)
+  GROUP BY doc_id, token),
+vocab AS (SELECT token, sum(c) AS c_t FROM dt GROUP BY token),
+tot AS (SELECT sum(c_t) AS n_total, count(*) AS v_size FROM vocab),
+scored AS (
+  SELECT dt.doc_id,
+         cast(sum(dt.c) AS bigint) AS n_tokens,
+         round(sum(dt.c * -log2((vocab.c_t + 1.0) / (tot.n_total + tot.v_size)))
+               / sum(dt.c), 4) AS bits_per_token
+  FROM dt JOIN vocab USING (token) CROSS JOIN tot
+  GROUP BY dt.doc_id)
+SELECT d.doc_id,
+       coalesce(scored.n_tokens, 0) AS n_tokens,
+       coalesce(scored.bits_per_token, 0.0) AS bits_per_token
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id"""
+
+
 def _pii_sql() -> str:
     from graphiti_spark.operators.dataset_text import PII_PATTERNS as P
 

@@ -131,6 +131,17 @@ def test_text_analysis(spark):
     assert tc.loc[1, "subword_tokens"] == 14  # 12 alpha words + '.' + '!'
 
 
+def test_unigram_lm_score(spark):
+    # corpus counts: a=3 b=1 c=1 -> N=5, V=3; add-one: p(a)=4/8, p(b)=p(c)=2/8
+    rows = [(1, "a a b"), (2, "a c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dtx.unigram_lm_score(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_tokens"] == 3 and got.loc[1, "bits_per_token"] == round((2 * 1 + 2) / 3, 4)
+    assert got.loc[2, "n_tokens"] == 2 and got.loc[2, "bits_per_token"] == 1.5
+    # empty doc survives the left join with zeroed signals
+    assert got.loc[3, "n_tokens"] == 0 and got.loc[3, "bits_per_token"] == 0.0
+
+
 def test_repetition_signals(spark):
     rows = [
         # 4 lines, "spam spam" duplicated twice → dup_line_frac = 1 - 3/4
