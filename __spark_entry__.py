@@ -586,6 +586,10 @@ def q_quality_documents(spark, sf_dir):
     )
 
 
+def q_temperature_mix_documents(spark, sf_dir):
+    return dmx.temperature_mix(_read(spark, sf_dir, "documents"), strat_col="lang")
+
+
 def q_unigram_lm_documents(spark, sf_dir):
     return dtx.unigram_lm_score(_read(spark, sf_dir, "documents"))
 
@@ -838,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "kg_nodes_page": q_kg_nodes_page,
         "unigram_lm_documents": q_unigram_lm_documents,
+        "temperature_mix_documents": q_temperature_mix_documents,
     }
 
 
@@ -887,6 +892,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": oracle.FINGERPRINT_DOCUMENTS,
         "repetition_documents": oracle.REPETITION_DOCUMENTS,
         "unigram_lm_documents": oracle.UNIGRAM_LM_DOCUMENTS,
+        "temperature_mix_documents": oracle.TEMPERATURE_MIX_DOCUMENTS,
         "pii_documents": oracle.PII_DOCUMENTS,
         "paragraph_dups_documents": oracle.PARAGRAPH_DUPS_DOCUMENTS,
         "contamination_documents": oracle.CONTAMINATION_DOCUMENTS,

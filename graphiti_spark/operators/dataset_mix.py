@@ -68,6 +68,63 @@ def stratified_sample(
     return df.filter(cond)
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled source re-weighting (the multilingual /
+    GPT-3-style mixture rule: target share q_s ∝ n_s^alpha, so alpha<1
+    up-samples small sources and down-samples the head): keep each
+    stratum at rate_s = min(1, budget_frac · N · q_s / n_s), realized
+    with the same deterministic md5-threshold membership as
+    `stratified_sample` — reproducible across runs, engines,
+    partitionings and retries. Unlike `stratified_sample` the rates are
+    DERIVED from the corpus itself, entirely in-plan: per-stratum
+    counts → a 1-row normalizer → per-stratum rate and 8-hex threshold,
+    broadcast back onto the fact table.
+
+    Scale: two aggregations over #strata rows (map-side combined), one
+    broadcast join, then a map-only filter — no fact-table shuffle.
+    Returns the kept rows as (id, stratum, rate) with the applied rate
+    for mix accounting.
+    """
+    n_s = F.col("_n_s").cast("double")
+    counts = df.groupBy(strat_col).agg(F.count("*").alias("_n_s"))
+    tot = counts.agg(
+        F.sum("_n_s").cast("double").alias("_n_total"),
+        F.sum(F.pow(n_s, F.lit(alpha))).alias("_z"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac) * F.col("_n_total") * F.pow(n_s, F.lit(alpha)) / F.col("_z") / n_s,
+            ),
+        )
+        .withColumn(
+            "_thresh",
+            F.lpad(
+                F.lower(F.hex(F.floor(F.col("_rate") * F.lit(float(_HASH_SPACE))))), 8, "0"
+            ),
+        )
+        .select(strat_col, "_rate", "_thresh")
+    )
+    key = F.concat_ws(":", F.lit(salt), F.col(strat_col), F.col(id_col).cast("string"))
+    return (
+        df.join(F.broadcast(rates), strat_col)
+        .filter(
+            (F.col("_rate") >= 1.0) | (F.substring(F.md5(key), 1, 8) < F.col("_thresh"))
+        )
+        .select(id_col, strat_col, F.round("_rate", 4).alias("rate"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 512,

@@ -928,6 +928,29 @@ MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.1}
 MIX_DEFAULT_RATE = 0.05
 
 
+# Mirrors operators/dataset_mix.temperature_mix over the skewed `lang`
+# strata (alpha=0.5, budget_frac=0.5, salt 'tmix'): rates derived from
+# the corpus in SQL exactly as the Spark plan derives them, thresholds
+# from the identical floor(rate * 16^8) → 8-hex-lpad construction.
+TEMPERATURE_MIX_DOCUMENTS = """
+WITH counts AS (
+  SELECT lang, cast(count(*) AS double) AS n_s FROM documents GROUP BY lang),
+tot AS (
+  SELECT sum(n_s) AS n_total, sum(pow(n_s, 0.5)) AS z FROM counts),
+rates AS (
+  SELECT lang,
+         least(1.0, 0.5 * tot.n_total * pow(counts.n_s, 0.5) / tot.z / counts.n_s) AS rate
+  FROM counts CROSS JOIN tot),
+r2 AS (
+  SELECT lang, rate,
+         lpad(lower(to_hex(cast(floor(rate * 4294967296.0) AS bigint))), 8, '0') AS thresh
+  FROM rates)
+SELECT d.doc_id, d.lang, round(r2.rate, 4) AS rate
+FROM documents d JOIN r2 USING (lang)
+WHERE r2.rate >= 1.0
+   OR substr(md5(concat_ws(':', 'tmix', d.lang, cast(d.doc_id AS varchar))), 1, 8) < r2.thresh"""
+
+
 def _sample_sql() -> str:
     from graphiti_spark.operators.dataset_mix import rate_threshold_hex
 

@@ -229,6 +229,26 @@ def test_stratified_sample(spark):
     assert dmx.stratified_sample(extra, {"a": 0.0}, default_rate=1.0).count() == 1
 
 
+def test_temperature_mix(spark):
+    # skewed corpus: a=90, b=10; alpha=0.5 -> q_a=0.75, q_b=0.25;
+    # budget 0.5*100=50 -> rate_a = 50*0.75/90 = 0.4167, rate_b = 1.25 capped at 1
+    rows = [(i, f"doc {i}", "a" if i < 90 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = dmx.temperature_mix(df, alpha=0.5, budget_frac=0.5).toPandas()
+    b = got[got.source == "b"]
+    a = got[got.source == "a"]
+    # capped stratum keeps everything, exactly
+    assert len(b) == 10 and set(b["rate"]) == {1.0}
+    assert set(a["rate"]) == {round(50 * 0.75 / 90, 4)}
+    assert 0 < len(a) < 90
+    # deterministic membership across calls
+    again = dmx.temperature_mix(df, alpha=0.5, budget_frac=0.5).toPandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+    # alpha=1 is proportional sampling: every stratum gets budget_frac
+    flat = dmx.temperature_mix(df, alpha=1.0, budget_frac=0.5).toPandas()
+    assert set(flat["rate"]) == {0.5}
+
+
 def test_pack_sequences(spark):
     rows = [
         (1, "a b c", "s1"),          # 3 tokens: offsets 0-2, seq 0
