@@ -59,6 +59,8 @@ def main() -> None:
         "paragraph_dups_documents",
         "contamination_documents",
         "sample_documents",
+        "temperature_mix_documents",
+        "unigram_lm_documents",
         "pack_sequences_documents",
     ]:
         show(name, qs[name](spark, sf_dir))
