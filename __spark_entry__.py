@@ -586,6 +586,10 @@ def q_quality_documents(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms_documents(spark, sf_dir):
+    return dtx.tfidf_top_terms(_read(spark, sf_dir, "documents"))
+
+
 def q_temperature_mix_documents(spark, sf_dir):
     return dmx.temperature_mix(_read(spark, sf_dir, "documents"), strat_col="lang")
 
@@ -843,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes_page": q_kg_nodes_page,
         "unigram_lm_documents": q_unigram_lm_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
+        "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
     }
 
 
@@ -893,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": oracle.REPETITION_DOCUMENTS,
         "unigram_lm_documents": oracle.UNIGRAM_LM_DOCUMENTS,
         "temperature_mix_documents": oracle.TEMPERATURE_MIX_DOCUMENTS,
+        "tfidf_top_terms_documents": oracle.TFIDF_TOP_TERMS_DOCUMENTS,
         "pii_documents": oracle.PII_DOCUMENTS,
         "paragraph_dups_documents": oracle.PARAGRAPH_DUPS_DOCUMENTS,
         "contamination_documents": oracle.CONTAMINATION_DOCUMENTS,

@@ -234,6 +234,58 @@ def unigram_lm_score(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k keyword extraction by smoothed TF-IDF —
+    tf_dt · (ln((N+1)/(df_t+1)) + 1), the scikit-learn smooth_idf
+    convention so corpus-wide terms still get positive weight. The
+    standard cheap featurizer for clustering / domain-tagging a
+    pre-training corpus. Ties break (score desc, term asc) —
+    deterministic.
+
+    Scale shape: one explode → (doc, token) counts with map-side
+    combine; document frequency re-aggregated FROM those counts (the
+    token-keyed shuffle moves one row per distinct pair); a 1-row
+    doc-count frame folded in via broadcast crossJoin; equi-join of
+    counts to df_t on token (AQE covers stop-word skew); per-doc top-k
+    via window row_number — partial TakeOrdered per partition, never a
+    global sort. No UDFs — codegen'd end-to-end.
+    """
+    from pyspark.sql.functions import broadcast
+
+    dt = (
+        df.select(
+            id_col,
+            F.explode(
+                F.filter(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), lambda t: t != "")
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = dt.groupBy("term").agg(F.count("*").alias("df_t"))
+    ndocs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        dt.join(dfreq, "term")
+        .crossJoin(broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1)) + 1),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", F.col("tf").cast("long").alias("tf"), "tfidf")
+    )
+
+
 def fingerprint_expr(text_col: str = "text") -> Column:
     """Normalization-stable fingerprint expression: md5 of lowercased,
     whitespace-collapsed, punctuation-stripped text. Shared by the

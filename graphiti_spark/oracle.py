@@ -928,6 +928,28 @@ MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.1}
 MIX_DEFAULT_RATE = 0.05
 
 
+TFIDF_TOP_TERMS_DOCUMENTS = """
+WITH dt AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  t -> t <> '')) AS term
+        FROM documents)
+  GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df_t FROM dt GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT dt.doc_id, dt.term, dt.tf,
+         round(dt.tf * (ln((nd.n_docs + 1.0) / (dfreq.df_t + 1.0)) + 1), 4) AS tfidf
+  FROM dt JOIN dfreq USING (term) CROSS JOIN nd),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, cast(tf AS bigint) AS tf, tfidf
+FROM ranked WHERE rank <= 3"""
+
+
 # Mirrors operators/dataset_mix.temperature_mix over the skewed `lang`
 # strata (alpha=0.5, budget_frac=0.5, salt 'tmix'): rates derived from
 # the corpus in SQL exactly as the Spark plan derives them, thresholds

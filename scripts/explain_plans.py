@@ -61,6 +61,7 @@ def main() -> None:
         "sample_documents",
         "temperature_mix_documents",
         "unigram_lm_documents",
+        "tfidf_top_terms_documents",
         "pack_sequences_documents",
     ]:
         show(name, qs[name](spark, sf_dir))

@@ -229,6 +229,25 @@ def test_stratified_sample(spark):
     assert dmx.stratified_sample(extra, {"a": 0.0}, default_rate=1.0).count() == 1
 
 
+def test_tfidf_top_terms(spark):
+    import math
+
+    rows = [(1, "apple apple banana"), (2, "banana cherry zebra"), (3, "apple cherry cherry")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dtx.tfidf_top_terms(df, k=2).toPandas()
+    idf_common = math.log(4 / 3) + 1  # df=2 of N=3, smooth_idf
+    idf_rare = math.log(4 / 2) + 1  # zebra, df=1
+    d1 = got[got.doc_id == 1].sort_values("rank")
+    assert list(d1["term"]) == ["apple", "banana"]
+    assert list(d1["tfidf"]) == [round(2 * idf_common, 4), round(idf_common, 4)]
+    # the doc-unique term outranks corpus-common ones
+    d2 = got[got.doc_id == 2].sort_values("rank")
+    assert d2.iloc[0]["term"] == "zebra" and d2.iloc[0]["tfidf"] == round(idf_rare, 4)
+    # ties break lexicographically: banana before cherry at equal score
+    assert d2.iloc[1]["term"] == "banana"
+    assert (got.groupby("doc_id")["rank"].count() == 2).all()
+
+
 def test_temperature_mix(spark):
     # skewed corpus: a=90, b=10; alpha=0.5 -> q_a=0.75, q_b=0.25;
     # budget 0.5*100=50 -> rate_a = 50*0.75/90 = 0.4167, rate_b = 1.25 capped at 1
