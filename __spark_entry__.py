@@ -586,6 +586,10 @@ def q_quality_documents(spark, sf_dir):
     )
 
 
+def q_centroid_outliers(spark, sf_dir):
+    return ann.centroid_outliers(_read(spark, sf_dir, "embeddings"))
+
+
 def q_tfidf_top_terms_documents(spark, sf_dir):
     return dtx.tfidf_top_terms(_read(spark, sf_dir, "documents"))
 
@@ -848,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_documents": q_unigram_lm_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
+        "centroid_outliers": q_centroid_outliers,
     }
 
 
@@ -899,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_lm_documents": oracle.UNIGRAM_LM_DOCUMENTS,
         "temperature_mix_documents": oracle.TEMPERATURE_MIX_DOCUMENTS,
         "tfidf_top_terms_documents": oracle.TFIDF_TOP_TERMS_DOCUMENTS,
+        "centroid_outliers": oracle.CENTROID_OUTLIERS,
         "pii_documents": oracle.PII_DOCUMENTS,
         "paragraph_dups_documents": oracle.PARAGRAPH_DUPS_DOCUMENTS,
         "contamination_documents": oracle.CONTAMINATION_DOCUMENTS,

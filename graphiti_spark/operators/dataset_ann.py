@@ -211,6 +211,48 @@ def ivf_topk(
     )
 
 
+def centroid_outliers(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Embedding-space outlier scoring per group: the exact mean
+    centroid of each group's vectors, then every vector's cosine to its
+    own group centroid — the SemDeDup-adjacent curation analytic (low
+    ``centroid_sim`` = off-cluster sample worth inspecting/dropping;
+    also the drift monitor when groups are sources or time buckets).
+
+    Scale shape: posexplode → groupBy(group, pos) mean with map-side
+    partial combine, so the shuffle carries #groups × dim rows
+    regardless of corpus size; the rebuilt centroid table (one array
+    per group) is broadcast back and the cosine is a JVM-side
+    zip_with/aggregate fold — the fact table is never shuffled. No
+    UDFs, fully codegen'd.
+    """
+    v = vectors.select(
+        id_col,
+        group_col,
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    cent = (
+        v.select(group_col, F.posexplode("_v").alias("_pos", "_val"))
+        .groupBy(group_col, "_pos")
+        .agg(F.avg("_val").alias("_c"))
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_c"))), lambda s: s["_c"]
+            ).alias("_cvec")
+        )
+    )
+    sim = emb.dot(emb.normalize_l2(F.col("_v")), emb.normalize_l2(F.col("_cvec")))
+    return (
+        v.join(F.broadcast(cent), group_col)
+        .select(id_col, group_col, F.round(sim, 4).alias("centroid_sim"))
+    )
+
+
 def cosine_topk_pandas(
     vectors: DataFrame,
     query_vecs: np.ndarray,

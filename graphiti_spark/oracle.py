@@ -1191,6 +1191,21 @@ r AS (
   FROM scored)
 SELECT qid, vec_id, score, rn FROM r WHERE rn <= 5"""
 
+CENTROID_OUTLIERS = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> cast(x AS double)) AS v
+  FROM embeddings),
+ex AS (
+  SELECT label, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val FROM v),
+cpos AS (SELECT label, pos, avg(val) AS c FROM ex GROUP BY label, pos),
+cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cpos GROUP BY label)
+SELECT v.vec_id, v.label,
+       round(list_sum(list_transform(range(1, len(v.v) + 1), i -> v.v[i] * cent.cvec[i]))
+             / greatest(sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cent.cvec, x -> x * x))), 1e-12),
+             4) AS centroid_sim
+FROM v JOIN cent USING (label)"""
+
 ANN_BRUTEFORCE_SINGLE = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
 q AS (SELECT v FROM v WHERE vec_id = 0),

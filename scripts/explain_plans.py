@@ -62,6 +62,7 @@ def main() -> None:
         "temperature_mix_documents",
         "unigram_lm_documents",
         "tfidf_top_terms_documents",
+        "centroid_outliers",
         "pack_sequences_documents",
     ]:
         show(name, qs[name](spark, sf_dir))

@@ -229,6 +229,21 @@ def test_stratified_sample(spark):
     assert dmx.stratified_sample(extra, {"a": 0.0}, default_rate=1.0).count() == 1
 
 
+def test_centroid_outliers(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [-1.0, 0.0], 0),  # opposite of its group's centroid [1/3, 0]
+        (4, [0.0, 2.0], 1),  # singleton group: identical to own centroid
+        (5, [0.0, 0.0], 2),  # zero vector: zero-safe sim 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = ann.centroid_outliers(df).toPandas().set_index("vec_id")["centroid_sim"]
+    assert got[1] == 1.0 and got[2] == 1.0 and got[3] == -1.0
+    assert got[4] == 1.0
+    assert got[5] == 0.0
+
+
 def test_tfidf_top_terms(spark):
     import math
 
