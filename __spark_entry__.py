@@ -586,6 +586,18 @@ def q_quality_documents(spark, sf_dir):
     )
 
 
+def q_semdedup_pairs(spark, sf_dir):
+    # same threshold as the exact embed_dup_pairs baseline so the two
+    # outputs are directly comparable; this loose threshold (0.35 vs the
+    # published ~0.95 regime) pairs vectors far outside a single coarse
+    # cluster, so probe more lists — n_probe=4 of 8 recovers 271/271 of
+    # the exact pairs at sf0.01 (at the tight SemDeDup threshold,
+    # n_probe=1 suffices — pytest recall gate)
+    return ann.semdedup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8, n_probe=4
+    )
+
+
 def q_centroid_outliers(spark, sf_dir):
     return ann.centroid_outliers(_read(spark, sf_dir, "embeddings"))
 
@@ -853,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_documents": q_temperature_mix_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "centroid_outliers": q_centroid_outliers,
+        "semdedup_pairs": q_semdedup_pairs,
     }
 
 

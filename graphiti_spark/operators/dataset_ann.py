@@ -140,6 +140,97 @@ def _train_coarse_centroids(
     return C.astype(np.float32)
 
 
+def _assign_clusters(
+    df: DataFrame, bc_codebook, id_name: str, nprobe: int, vec_col: str
+) -> DataFrame:
+    """(id, vec) → (id, cluster, v): each vector L2-normalized and
+    assigned to its `nprobe` nearest broadcast-codebook centroids — one
+    Arrow-batched GEMM per partition, no shuffle. Shared by ivf_topk
+    (index/query assignment) and semdedup_pairs (cluster blocking)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cv = bc_codebook.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].values).astype(np.float32)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = M @ Cv.T
+            p = min(nprobe, S.shape[1])
+            top = np.argsort(-S, axis=1)[:, :p]  # (n, p) cluster ids
+            yield pd.DataFrame(
+                {
+                    id_name: np.repeat(pdf[id_name].values, p),
+                    "cluster": top.ravel().astype(np.int32),
+                    "v": np.repeat(list(M), p, axis=0).tolist(),
+                }
+            )
+
+    return df.select(id_name, vec_col).mapInPandas(
+        fn, schema=f"{id_name} long, cluster int, v array<float>"
+    )
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_probe: int = 1,
+    train_sample: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup blocked by k-means
+    clusters — candidate pairs exist only WITHIN a vector's coarse
+    cluster(s), and pairs with cosine ≥ threshold come back as
+    (src, dst, cos) with src < dst, the same shape as
+    `dataset_dedup.embedding_dup_pairs`, so `dedup_resolve` composes
+    for keep/drop verdicts. `n_probe > 1` assigns each vector to
+    several nearest clusters, recovering pairs that straddle a cluster
+    boundary at proportional candidate cost.
+
+    Scale shape: codebook trained on a bounded deterministic sample
+    (driver cost constant in corpus size), assignment is a broadcast-
+    codebook GEMM per partition (no shuffle), and the quadratic is
+    bounded per cluster by a cluster-keyed self-equi-join — with
+    n_centroids ~ corpus/target_cluster_size the pair space is
+    O(Σ cluster²), the published SemDeDup recipe, vs the exact path's
+    O(n²). Recall vs the exact pairs is pytest-gated, not asserted.
+    """
+    C = _train_coarse_centroids(vectors, n_centroids, train_sample, iters, id_col, vec_col)
+    bc = vectors.sparkSession.sparkContext.broadcast(C)
+    assigned = _assign_clusters(vectors, bc, id_col, n_probe, vec_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    # vectors come back normalized from assignment, so cosine = dot
+    cos = F.aggregate(
+        F.zip_with(
+            F.col("a.v").cast("array<double>"),
+            F.col("b.v").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("src"),
+            F.col(f"b.{id_col}").alias("dst"),
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+    # multi-probe can surface a pair in several shared clusters; the
+    # score is deterministic, so distinct() folds the copies
+    return pairs.distinct() if n_probe > 1 else pairs
+
+
 def ivf_topk(
     queries: DataFrame,
     index: DataFrame,
@@ -169,33 +260,8 @@ def ivf_topk(
     C = _train_coarse_centroids(index, n_centroids, train_sample, iters, index_id, vec_col)
     bc = spark.sparkContext.broadcast(C)
 
-    def assigner(id_name: str, nprobe: int):
-        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            Cv = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                M = np.stack(pdf[vec_col].values).astype(np.float32)
-                M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-                S = M @ Cv.T
-                p = min(nprobe, S.shape[1])
-                top = np.argsort(-S, axis=1)[:, :p]  # (n, p) cluster ids
-                yield pd.DataFrame(
-                    {
-                        id_name: np.repeat(pdf[id_name].values, p),
-                        "cluster": top.ravel().astype(np.int32),
-                        "v": np.repeat(list(M), p, axis=0).tolist(),
-                    }
-                )
-
-        return fn
-
-    iv = index.select(index_id, vec_col).mapInPandas(
-        assigner(index_id, 1), schema=f"{index_id} long, cluster int, v array<float>"
-    )
-    qv = queries.select(query_id, vec_col).mapInPandas(
-        assigner(query_id, n_probe), schema=f"{query_id} long, cluster int, v array<float>"
-    )
+    iv = _assign_clusters(index, bc, index_id, 1, vec_col)
+    qv = _assign_clusters(queries, bc, query_id, n_probe, vec_col)
     joined = (
         iv.join(F.broadcast(qv.withColumnRenamed("v", "qv")), "cluster")
         .dropDuplicates([query_id, index_id])  # a pair can meet in several probed lists

@@ -442,6 +442,24 @@ def test_ann_ivf_recall_at_k(spark):
             assert abs(em[(r.qid, r.vec_id)] - r.score) < 1e-6
 
 
+def test_semdedup_recall(spark):
+    """Recall gate for SemDeDup cluster blocking: within-cluster pairs
+    at cosine >= 0.9 must recover >= 90% of the exact quadratic pairs
+    on the planted-duplicate corpus, with no false pairs."""
+    v = _planted_vectors(spark)
+    exact = ddp.embedding_dup_pairs(v, threshold=0.9, exact=True).toPandas()
+    sem = ann.semdedup_pairs(v, threshold=0.9, n_centroids=8, n_probe=2).toPandas()
+    exact_pairs = set(zip(exact.src, exact.dst))
+    sem_pairs = set(zip(sem.src, sem.dst))
+    recall = len(exact_pairs & sem_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"SemDeDup recall {recall:.3f} < 0.9"
+    # precision is exact by construction: every emitted pair carries a
+    # true cosine >= threshold (scored exactly within the block)
+    assert sem_pairs <= exact_pairs
+    # multi-probe dedupes pair copies
+    assert len(sem) == len(sem_pairs)
+
+
 def test_jaccard_df_cap_bounds_pairs(spark):
     """VERDICT r1 #7: a stop-word token shared by every doc must not
     create a quadratic block when max_df caps the posting join, and
