@@ -46,6 +46,40 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 8) 
     return out
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_width: int = 4,
+) -> DataFrame:
+    """(id, band, h) LSH band-key rows — the blocking key shared by the
+    batch pair join (`minhash_pairs`) and the streaming near-dedup band
+    store (streaming/stream.py): two documents are near-dup candidates
+    iff they share any (band, h)."""
+    assert n_hashes % band_width == 0
+    n_bands = n_hashes // band_width
+    sig = minhash_signature(df, text_col, n_hashes).select(
+        F.col(id_col).alias("id"),
+        F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("sig"),
+    )
+    return sig.select("id", F.posexplode(_band_key_expr("sig", n_hashes, band_width)).alias("band", "h"))
+
+
+def _band_key_expr(sig_col: str, n_hashes: int, band_width: int):
+    n_bands = n_hashes // band_width
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(sig_col)[i * band_width + r] for r in range(band_width)]
+                )
+            )
+            for i in range(n_bands)
+        ]
+    )
+
+
 def minhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -66,17 +100,9 @@ def minhash_pairs(
         F.col(id_col).alias("id"),
         F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("sig"),
     )
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"sig")[i * band_width + r] for r in range(band_width)]
-                )
-            )
-            for i in range(n_bands)
-        ]
+    bands = sig.select(
+        "id", "sig", F.posexplode(_band_key_expr("sig", n_hashes, band_width)).alias("band", "h")
     )
-    bands = sig.select("id", "sig", F.posexplode(band_keys).alias("band", "h"))
     a, b = bands.alias("a"), bands.alias("b")
     est = F.size(
         F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda m: m)

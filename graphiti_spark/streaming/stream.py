@@ -162,6 +162,106 @@ def stream_dedup_documents(
     )
 
 
+def stream_neardedup_minhash(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_hashes: int = 8,
+    band_width: int = 4,
+    retention_sec: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_col: str = "ts",
+):
+    """Streaming MinHash-LSH NEAR-dedup — the fuzzy companion to
+    `stream_dedup_documents` (which only catches exact-fingerprint
+    re-deliveries). dropDuplicatesWithinWatermark cannot express "drop
+    if ANY band collides", and chaining a per-doc aggregation behind a
+    streaming dedup stalls on the watermark in append mode, so this
+    runs foreachBatch against a persistent band store — the same
+    at-least-once + idempotent pattern the incremental KG pipeline
+    uses. Per micro-batch:
+
+    1. band keys via the SAME banding as the batch `minhash_pairs`
+       (`dataset_dedup.minhash_bands`), so batch and streaming agree on
+       what counts as a near-dup candidate;
+    2. docs sharing any (band, h) with the store are dropped;
+    3. within-batch near-dups resolve through the exact batch path
+       (`minhash_pairs` + `dedup_resolve`, min-id canonical wins);
+    4. survivors append to `{out_dir}/novel.parquet`, THEN their bands
+       (stamped with the batch's max event time) append to the store —
+       novel-first ordering means a crash between the writes re-emits
+       the doc on retry (absorbed by idempotent downstream merges)
+       rather than silently dropping it as a dup of its own bands;
+    5. `retention_sec` prunes store rows older than max event time
+       minus the retention — the band store's watermark analog, so
+       state is bounded by the retention window, not the corpus.
+
+    A replayed batch collides with its own stored bands and emits
+    nothing — exactly-once output falls out of the store.
+    """
+    import os
+
+    from graphiti_spark.operators import dataset_dedup as ddp
+
+    store_path = f"{out_dir}/band_store.parquet"
+    novel_path = f"{out_dir}/novel.parquet"
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        bands = ddp.minhash_bands(
+            batch_df, text_col=text_col, id_col=id_col,
+            n_hashes=n_hashes, band_width=band_width,
+        ).localCheckpoint()
+        if os.path.exists(store_path):
+            store = spark.read.parquet(store_path)
+            hit_ids = (
+                bands.join(store.select("band", "h"), ["band", "h"], "left_semi")
+                .select("id").distinct()
+            )
+            fresh = batch_df.join(
+                hit_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+            )
+        else:
+            store = None
+            fresh = batch_df
+        # within-batch near-dups: exact batch semantics, min-id keeps
+        pairs = ddp.minhash_pairs(
+            fresh, text_col=text_col, id_col=id_col,
+            n_hashes=n_hashes, band_width=band_width, threshold=0.0,
+        )
+        verdict = ddp.dedup_resolve(fresh, pairs, id_col=id_col)
+        novel = fresh.join(
+            verdict.filter("keep").select(id_col), id_col, "left_semi"
+        ).localCheckpoint()
+        novel.write.mode("append").parquet(novel_path)
+        max_ts = novel.agg(F.max(event_col)).first()[0]
+        new_bands = (
+            bands.join(
+                novel.select(F.col(id_col).alias("id")), "id", "left_semi"
+            ).select("band", "h", F.lit(max_ts).alias("ts"))
+        )
+        merged = store.unionByName(new_bands) if store is not None else new_bands
+        if retention_sec is not None and max_ts is not None:
+            merged = merged.filter(
+                F.col("ts") >= F.lit(max_ts) - F.expr(f"INTERVAL {retention_sec} SECONDS")
+            )
+        # store is small (bands of surviving docs in the retention
+        # window); rewrite-in-place via a checkpoint of the merged view
+        merged.localCheckpoint().coalesce(8).write.mode("overwrite").parquet(store_path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_turn_counts(stream: DataFrame, window: str = "5 minutes", slide: str | None = None) -> DataFrame:
     """Streaming windowed aggregation example over the turn stream
     (watermark + window → late-data-tolerant counts per conversation)."""

@@ -143,3 +143,47 @@ def test_stateful_new_entity_tracking(spark, tmp_path):
     assert len(got) == len(set(got["entity_name"]))
     firsts = got.set_index("entity_name")["first_turn_idx"]
     assert firsts["Acme"] == 0 and firsts["Bob"] == 1
+
+
+def test_stream_neardedup_minhash(spark, tmp_path):
+    """Streaming MinHash near-dedup: a near-duplicate arriving in a
+    later micro-batch is dropped by the band store; within-batch
+    near-dups resolve min-id-wins; a replayed text under a new id is
+    dropped; fresh content passes."""
+    import datetime as _dt
+    import time as _time
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = _dt.datetime(2025, 1, 1)
+    base = "the quick brown fox jumps over the lazy dog and then naps all afternoon"
+    near = base.replace("naps", "sleeps")  # near-dup of `base`
+    b1 = [
+        (1, base, t0),
+        (2, "completely different content about spark sql engines", t0),
+        (7, near, t0),  # within-batch near-dup of 1 -> min id 1 keeps
+    ]
+    b2 = [
+        (3, base.replace("lazy", "idle"), t0 + _dt.timedelta(minutes=1)),  # near-dup of stored 1
+        (4, "fresh and unrelated text about marine biology research", t0 + _dt.timedelta(minutes=1)),
+    ]
+    b3 = [
+        (5, b2[1][1], t0 + _dt.timedelta(minutes=2)),  # replay of 4's text, new id
+        (6, "another novel document on alpine geology surveys", t0 + _dt.timedelta(minutes=2)),
+    ]
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(str(in_dir))
+        _time.sleep(1.1)
+
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+    out_dir = str(tmp_path / "neardedup")
+    q = st.stream_neardedup_minhash(
+        src, out_dir, str(tmp_path / "ckpt_nd"), band_width=2
+    )
+    q.awaitTermination(180)
+    got = sorted(spark.read.parquet(f"{out_dir}/novel.parquet").toPandas()["doc_id"])
+    assert got == [1, 2, 4, 6], got
+    # the band store holds only surviving docs' bands
+    store = spark.read.parquet(f"{out_dir}/band_store.parquet").toPandas()
+    assert set(store.columns) == {"band", "h", "ts"} and len(store) == 4 * len(got)
