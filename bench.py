@@ -121,6 +121,17 @@ def main() -> None:
     def q_text_quality():
         force(dtx.quality_score(dtx.lang_id(read("documents"))))
 
+    def q_curation_r4():
+        # round-4 curation family: LM-perplexity filter, TF-IDF top
+        # terms, corpus-derived temperature mixing, centroid outliers
+        from graphiti_spark.operators import dataset_mix as dmx
+
+        docs, embs = read("documents"), read("embeddings")
+        force(dtx.unigram_lm_score(docs))
+        force(dtx.tfidf_top_terms(docs))
+        force(dmx.temperature_mix(docs, strat_col="lang"))
+        force(ann.centroid_outliers(embs))
+
     def q_tpch_mix():
         li = read("lineitem")
         force(
@@ -143,6 +154,7 @@ def main() -> None:
         "minhash_pairs": q_minhash,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
+        "curation_r4": q_curation_r4,
         "tpch_mix": q_tpch_mix,
     }
 
