@@ -131,6 +131,7 @@ def main() -> None:
         force(dtx.tfidf_top_terms(docs))
         force(dmx.temperature_mix(docs, strat_col="lang"))
         force(ann.centroid_outliers(embs))
+        force(ann.semdedup_pairs(embs, threshold=0.35, n_centroids=8, n_probe=4))
 
     def q_tpch_mix():
         li = read("lineitem")
