@@ -39,7 +39,7 @@ def main() -> int:
 
     def duck_sql(sql: str) -> pd.DataFrame:
         # Fresh connection per oracle query: a single shared connection
-        # accumulates buffer-pool pages across all 58 queries and,
+        # accumulates buffer-pool pages across all registered queries and,
         # sitting next to the Spark JVM heap, eventually OOMs the
         # sandbox (observed: "Failed to allocate block of 16384 bytes"
         # on queries that pass in isolation). View creation is
