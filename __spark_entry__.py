@@ -656,12 +656,33 @@ def q_paragraph_dups_documents(spark, sf_dir):
     return ddp.paragraph_dups(chunked)
 
 
+def q_span_dups_documents(spark, sf_dir):
+    # k=8 so synthetic near-dups (shared phrase runs) produce spans;
+    # max_df=100 exercises the boilerplate-anchor cap (mirrored in
+    # oracle.span_dups_sql — identical cap, so parity is exact)
+    return ddp.span_dups(_read(spark, sf_dir, "documents"), k=8, max_df=100)
+
+
 def q_contamination_documents(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     # deterministic stand-in benchmark: every 50th document (mirrored
     # in oracle.CONTAMINATION_DOCUMENTS)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return ddp.contamination(docs, bench)
+
+
+def q_quality_bins_documents(spark, sf_dir):
+    # CCNet shape: unigram-LM bits-per-token binned into quartiles PER
+    # LANGUAGE (Wenzek et al. 2020 §4.3); the bin oracle is exact
+    # because both engines bin the already-rounded score with a doc_id
+    # tie-break
+    docs = _read(spark, sf_dir, "documents")
+    scored = dtx.unigram_lm_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return dtx.quantile_bins(scored, "bits_per_token", n_bins=4, strat_col="lang")
+
+
+def q_shard_documents(spark, sf_dir):
+    return dmx.shard_assign(_read(spark, sf_dir, "documents"), n_shards=16)
 
 
 def q_sample_documents(spark, sf_dir):
@@ -788,19 +809,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
+        "span_dups_documents": q_span_dups_documents,
+        "quality_bins_documents": q_quality_bins_documents,
+        "shard_documents": q_shard_documents,
         "unigram_lm_documents": q_unigram_lm_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "centroid_outliers": q_centroid_outliers,
         "semdedup_pairs": q_semdedup_pairs,
         "kg_triples": q_kg_triples,
-        "kg_mention_counts": q_kg_mention_counts,
         "kg_edges": q_kg_edges,
         "kg_duplicate_of": q_kg_duplicate_of,
         "kg_canonical_map": q_kg_canonical_map,
-        "kg_cross_batch_map": q_kg_cross_batch_map,
         "kg_typed_nodes": q_kg_typed_nodes,
-        "kg_typed_edges": q_kg_typed_edges,
         "kg_edges_canonical": q_kg_edges_canonical,
         "kg_communities": q_kg_communities,
         "kg_search_hybrid": q_kg_search_hybrid,
@@ -863,6 +884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes_page": q_kg_nodes_page,
         # demoted late in r4 (driver-green r1-r3) to give the five
         # late-r4 operators their first driver rows:
+        "kg_mention_counts": q_kg_mention_counts,
+        "kg_cross_batch_map": q_kg_cross_batch_map,
+        "kg_typed_edges": q_kg_typed_edges,
         "kg_episodes": q_kg_episodes,
         "kg_nodes": q_kg_nodes,
         "kg_bfs": q_kg_bfs,
@@ -911,6 +935,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": oracle.simhash_sql(),
         "simhash_pairs_documents": oracle.simhash_pairs_sql(),
         "jaccard_pairs_documents": oracle.jaccard_pairs_sql(),
+        "span_dups_documents": oracle.span_dups_sql(),
+        "quality_bins_documents": oracle.QUALITY_BINS_DOCUMENTS,
+        "shard_documents": oracle.SHARD_DOCUMENTS,
         "lang_id_documents": oracle.LANG_ID_DOCUMENTS,
         "quality_documents": oracle.QUALITY_DOCUMENTS,
         "token_counts_documents": oracle.TOKEN_COUNTS_DOCUMENTS,

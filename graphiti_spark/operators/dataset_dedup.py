@@ -17,7 +17,7 @@ width tune recall vs shuffle width.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphiti_spark.functions import text as tx
@@ -381,6 +381,94 @@ def paragraph_dups(
             F.min(id_col).alias("exemplar_doc"),
         )
         .filter(F.col("dup_count") >= min_count)
+    )
+
+
+def span_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_span: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-document exact substring-span dedup — the distributed
+    re-expression of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): two
+    documents share a duplicated token span of length >= k iff they
+    share at least one exact k-token window. Anchors are the md5 of
+    each sliding k-token window; a RUN of r consecutive shared anchors
+    on one (src, dst) alignment diagonal is exactly a shared span of
+    k + r - 1 tokens, so the per-pair `longest_span` is the true
+    longest common token substring (>= k), not an estimate. Returns
+    (src, dst, n_anchors, longest_span) with longest_span >= min_span
+    (default k).
+
+    Scale: the pair space is blocked by the anchor equi-join — never
+    quadratic in the corpus. k-gram document frequency is far flatter
+    than token df, but boilerplate spans (licenses, headers) still
+    make hot anchors: `max_df` drops anchors shared by more than
+    max_df docs from the JOIN (the same lower-bound semantics as
+    `jaccard_pairs` — pruning can only shorten reported runs, and a
+    span made entirely of >max_df boilerplate is exactly the text a
+    dedup pass should not key on). Run detection is one window per
+    (src, dst, diagonal) partition — keys are pair-local, so the
+    shuffle is as wide as the matched-anchor set, and the classic
+    gaps-and-islands grouping (i - row_number) costs one sort within
+    each tiny partition. At 100 TB: anchors shuffle once to join,
+    matches shuffle once to the diagonal window; both keys are
+    md5-uniform outside the capped boilerplate."""
+    if min_span is None:
+        min_span = k
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), lambda t: t != ""
+        ).alias("_tk"),
+    ).filter(F.size("_tk") >= k)
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_tk) - {k - 1}),"
+                f" i -> md5(concat_ws(' ', slice(_tk, i, {k}))))"
+            )
+        ).alias("pos0", "gh"),
+    ).select("id", (F.col("pos0") + 1).alias("i"), "gh")
+    if max_df is not None:
+        keep = (
+            grams.groupBy("gh")
+            .agg(F.countDistinct("id").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("gh")
+        )
+        grams = grams.join(keep, "gh", "left_semi")
+    matches = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.gh") == F.col("b.gh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.col("a.i").alias("ia"),
+            (F.col("a.i") - F.col("b.i")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("src", "dst", "diag").orderBy("ia")
+    runs = (
+        matches.withColumn("_grp", F.col("ia") - F.row_number().over(w))
+        .groupBy("src", "dst", "diag", "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    return (
+        runs.groupBy("src", "dst")
+        .agg(
+            F.sum("_run").alias("n_anchors"),
+            (F.max("_run") + F.lit(k - 1)).alias("longest_span"),
+        )
+        .filter(F.col("longest_span") >= min_span)
     )
 
 

@@ -125,6 +125,40 @@ def temperature_mix(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle + shard layout — the step between a
+    curated corpus and its training-ready files: every document gets a
+    shard (uniform via md5) and a position within that shard (ordering
+    by the same md5 key = a reproducible corpus-wide random permutation,
+    so adjacent source documents land far apart — the de-correlation a
+    pre-training loader needs without a rand() that breaks retries).
+    Returns (id, shard, pos) with pos 1-based within shard.
+
+    Scale: shard via the first 8 md5 hex digits mod n_shards (map-only);
+    pos is one row_number window PER SHARD — realized as
+    repartition(shard) + in-partition sort, exactly the physical layout
+    the shard writer needs anyway (sortWithinPartitions before write),
+    never a global order-by. n_shards scales with the corpus (one shard
+    ≈ one loader file group), keeping each sort partition bounded."""
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            (bucket % n_shards).cast("int").alias("shard"),
+            key.alias("sort_key"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 512,

@@ -234,6 +234,35 @@ def unigram_lm_score(
     )
 
 
+def quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    strat_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile binning of a score column — the CCNet perplexity-bucket
+    step (Wenzek et al., LREC 2020 §4.3: documents are split into
+    head/middle/tail by LM perplexity PER LANGUAGE) and the generic
+    curriculum/threshold binning a curation pipeline applies before
+    sampling. Adds a 1-based ``bin`` column: NTILE(n_bins) over
+    (stratum, score, id) — exact and deterministic (id tie-break), so
+    an engine-independent oracle can reproduce it bit-for-bit.
+
+    Scale: one window sort PER STRATUM — partitionBy(strat_col) keeps
+    the sort spread across languages/sources rather than a global
+    single-partition order-by. For a corpus-wide unstratified binning
+    at 100 TB don't sort globally: compute approximate cutoffs
+    (df.approxQuantile / approx_percentile) and join them back as range
+    predicates — this exact operator deliberately keeps the
+    oracle-checkable per-stratum semantics, and passing
+    strat_col=None (global NTILE, one sort partition) is for
+    small/medium corpora only."""
+    parts = [F.col(strat_col)] if strat_col is not None else []
+    w = Window.partitionBy(*parts).orderBy(F.col(score_col), F.col(id_col))
+    return df.withColumn("bin", F.ntile(n_bins).over(w))
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -855,6 +855,49 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id"""
 
 
+# Mirrors operators/dataset_mix.shard_assign (n_shards=16, salt
+# 'shuffle'): shard = first-8-hex-digits of md5 mod 16 (the hex→int
+# conversion is spelled out digit-by-digit because DuckDB has no conv();
+# exact for 8 hex digits since 16^7 is well inside double precision),
+# pos = row_number per shard ordered by the same md5 key.
+SHARD_DOCUMENTS = """
+WITH keyed AS (
+  SELECT doc_id, md5('shuffle:' || cast(doc_id AS varchar)) AS sort_key
+  FROM documents),
+b AS (
+  SELECT doc_id, sort_key,
+         cast(cast(list_sum(list_transform(range(1, 9),
+              i -> (strpos('0123456789abcdef', substr(sort_key, i, 1)) - 1)
+                   * cast(pow(16, 8 - i) AS bigint))) AS bigint) % 16 AS integer) AS shard
+  FROM keyed)
+SELECT doc_id, shard,
+       cast(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS bigint) AS pos
+FROM b"""
+
+
+# Mirrors operators/dataset_text.quantile_bins over the unigram-LM
+# score, stratified per lang (the CCNet perplexity-bucket shape):
+# NTILE(4) over (lang, bits_per_token, doc_id) — both engines bin the
+# ALREADY-ROUNDED score with the doc_id tie-break, so bins agree
+# bit-for-bit.
+QUALITY_BINS_DOCUMENTS = (
+    UNIGRAM_LM_DOCUMENTS.replace(
+        """SELECT d.doc_id,
+       coalesce(scored.n_tokens, 0) AS n_tokens,
+       coalesce(scored.bits_per_token, 0.0) AS bits_per_token
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id""",
+        """SELECT d.doc_id,
+       coalesce(scored.n_tokens, 0) AS n_tokens,
+       coalesce(scored.bits_per_token, 0.0) AS bits_per_token,
+       d.lang,
+       cast(ntile(4) OVER (PARTITION BY d.lang
+                           ORDER BY coalesce(scored.bits_per_token, 0.0), d.doc_id)
+            AS integer) AS bin
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id""",
+    )
+)
+
+
 def _pii_sql() -> str:
     from graphiti_spark.operators.dataset_text import PII_PATTERNS as P
 
@@ -1155,6 +1198,45 @@ SELECT a.doc_id AS src, b.doc_id AS dst,
        cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def span_dups_sql(k: int = 8, min_span: int | None = None, max_df: int | None = 100) -> str:
+    """Mirror of operators/dataset_dedup.span_dups: md5 k-gram anchors
+    (whitespace tokens, lowercased), df-capped anchor self-join, then
+    gaps-and-islands run detection per (src, dst, diagonal) — a run of
+    r consecutive shared anchors is a shared span of k + r - 1 tokens."""
+    if min_span is None:
+        min_span = k
+    cap = (
+        f"\nkeep AS (SELECT gh FROM grams GROUP BY gh"
+        f" HAVING count(DISTINCT doc_id) <= {max_df}),"
+        f"\ng2 AS (SELECT g.* FROM grams g SEMI JOIN keep USING (gh)),"
+        if max_df is not None
+        else "\ng2 AS (SELECT * FROM grams),"
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, len(tk) - {k - 2})) AS i,
+         unnest(list_transform(range(1, len(tk) - {k - 2}),
+                               i -> md5(array_to_string(tk[i:i+{k - 1}], ' ')))) AS gh
+  FROM tk WHERE len(tk) >= {k}),{cap}
+m AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, a.i AS ia, a.i - b.i AS diag
+  FROM g2 a JOIN g2 b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+r1 AS (
+  SELECT src, dst, diag,
+         ia - row_number() OVER (PARTITION BY src, dst, diag ORDER BY ia) AS grp
+  FROM m),
+r2 AS (SELECT src, dst, diag, grp, count(*) AS run FROM r1 GROUP BY src, dst, diag, grp)
+SELECT src, dst, cast(sum(run) AS bigint) AS n_anchors,
+       cast(max(run) + {k - 1} AS bigint) AS longest_span
+FROM r2 GROUP BY src, dst
+HAVING max(run) + {k - 1} >= {min_span}"""
 
 
 def jaccard_pairs_sql(threshold: float = 0.5) -> str:

@@ -476,3 +476,68 @@ def test_jaccard_df_cap_bounds_pairs(spark):
     assert (100, 101) in pairs
     # the 40 filler docs share ONLY capped tokens -> no pair survives
     assert all(s >= 100 for s, d in pairs)
+
+
+def test_span_dups_exact_longest_span(spark):
+    """span_dups reports the TRUE longest common token span (>= k):
+    a run of r consecutive shared k-gram anchors on one alignment
+    diagonal is a shared span of exactly k + r - 1 tokens."""
+    w = [f"w{i}" for i in range(1, 21)]
+    doc1 = " ".join(w)                                   # w1..w20
+    doc2 = "x1 x2 " + " ".join(w[4:16]) + " y1 y2 y3"    # shares w5..w16 (12 tokens)
+    doc4 = "z1 z2 z3 " + " ".join(w[4:12]) + " z4 z5"    # shares w5..w12 (8 tokens)
+    doc5 = " ".join(f"q{i}" for i in range(30))          # no overlap
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (4, doc4), (5, doc5)], "doc_id long, text string"
+    )
+    got = ddp.span_dups(df, k=8).toPandas()
+    spans = {(int(r.src), int(r.dst)): int(r.longest_span) for r in got.itertuples()}
+    assert spans[(1, 2)] == 12  # 12-token shared span
+    assert spans[(1, 4)] == 8   # exactly-k span
+    assert spans[(2, 4)] == 8   # w5..w12 shared transitively
+    assert not any(5 in p for p in spans)
+    # 12-token span -> 5 consecutive anchors on one diagonal
+    n_anchors = {(int(r.src), int(r.dst)): int(r.n_anchors) for r in got.itertuples()}
+    assert n_anchors[(1, 2)] == 5
+
+
+def test_span_dups_max_df_caps_boilerplate(spark):
+    """A license-header anchor shared by many docs is dropped from the
+    join under max_df (lower-bound semantics: runs only shrink)."""
+    boiler = "this file is licensed under the apache license version two"
+    rows = [(i, f"unique{i} prefix{i} {boiler} suffix{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ddp.span_dups(df, k=8).toPandas()
+    assert len(uncapped) == 45  # all C(10,2) boilerplate pairs
+    capped = ddp.span_dups(df, k=8, max_df=3).toPandas()
+    assert len(capped) == 0
+
+
+def test_quantile_bins_per_stratum(spark):
+    rows = [("en", i, float(i)) for i in range(8)] + [("fr", 100 + i, float(-i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score double")
+    got = dtx.quantile_bins(df, "score", n_bins=4, strat_col="lang").toPandas()
+    en = got[got.lang == "en"].sort_values("score")
+    assert list(en.bin) == [1, 1, 2, 2, 3, 3, 4, 4]
+    fr = got[got.lang == "fr"].sort_values("score")
+    assert list(fr.bin) == [1, 2, 3, 4]
+
+
+def test_shard_assign_deterministic_layout(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = dmx.shard_assign(df, n_shards=16).toPandas()
+    b = dmx.shard_assign(df, n_shards=16).toPandas()
+    # reproducible across runs (retry-safe, unlike rand())
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    assert len(a) == 200 and a.shard.between(0, 15).all()
+    # pos is a contiguous 1..n_s permutation within every shard
+    for s, g in a.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+    # shard matches the documented md5 construction
+    h = int(hashlib.md5(b"shuffle:42").hexdigest()[:8], 16)
+    assert int(a.set_index("doc_id").loc[42, "shard"]) == h % 16
