@@ -656,6 +656,12 @@ def q_paragraph_dups_documents(spark, sf_dir):
     return ddp.paragraph_dups(chunked)
 
 
+def q_minhash_star_documents(spark, sf_dir):
+    # star-contracted LSH dedup edges: O(n·bands) rows on a corpus
+    # where the all-pairs band join is quadratic per dup cluster
+    return ddp.minhash_star_edges(_read(spark, sf_dir, "documents"))
+
+
 def q_span_dups_documents(spark, sf_dir):
     # k=8 so synthetic near-dups (shared phrase runs) produce spans;
     # max_df=100 exercises the boilerplate-anchor cap (mirrored in
@@ -683,6 +689,42 @@ def q_quality_bins_documents(spark, sf_dir):
 
 def q_shard_documents(spark, sf_dir):
     return dmx.shard_assign(_read(spark, sf_dir, "documents"), n_shards=16)
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """Flagship curation composition — the documents-side analog of
+    kg_pipeline: star-contracted MinHash-LSH dedup edges →
+    connected-components keep-list → C4-style quality gate (>= 0.5) →
+    8-gram decontamination vs the every-50th-doc stand-in benchmark →
+    temperature mix over the SURVIVOR lang strata → deterministic
+    8-shard md5 layout. Every stage is the registered operator, so the
+    composed DuckDB oracle (oracle.curation_pipeline_sql) re-derives
+    the whole pipeline stage-for-stage, including a recursive-CTE
+    transitive closure standing in for the Spark CC operator."""
+    docs = _read(spark, sf_dir, "documents")
+    # star-contracted LSH dedup edges with full-signature banding:
+    # O(n) edges on this synthetically dup-dense corpus, where an
+    # all-pairs band join emits O(cluster^2) rows per dup family —
+    # components are identical (the star spans each band bucket)
+    pairs = ddp.minhash_star_edges(docs, n_hashes=8, band_width=8)
+    keep_ids = ddp.dedup_resolve(docs, pairs).filter("keep").select("doc_id")
+    quality_ok = (
+        dtx.quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id")
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    clean = (
+        ddp.contamination(docs, bench).filter(~F.col("contaminated")).select("doc_id")
+    )
+    survivors = (
+        docs.join(keep_ids, "doc_id", "left_semi")
+        .join(quality_ok, "doc_id", "left_semi")
+        .join(clean, "doc_id", "left_semi")
+    )
+    mixed = dmx.temperature_mix(
+        survivors, alpha=0.5, budget_frac=0.5, strat_col="lang", salt="curate"
+    )
+    sharded = dmx.shard_assign(mixed.select("doc_id"), n_shards=8, salt="curate-shard")
+    return mixed.join(sharded, "doc_id").select("doc_id", "lang", "rate", "shard", "pos")
 
 
 def q_sample_documents(spark, sf_dir):
@@ -809,6 +851,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
+        "curation_pipeline": q_curation_pipeline,
+        "minhash_star_documents": q_minhash_star_documents,
         "span_dups_documents": q_span_dups_documents,
         "quality_bins_documents": q_quality_bins_documents,
         "shard_documents": q_shard_documents,
@@ -819,8 +863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": q_semdedup_pairs,
         "kg_triples": q_kg_triples,
         "kg_edges": q_kg_edges,
-        "kg_duplicate_of": q_kg_duplicate_of,
-        "kg_canonical_map": q_kg_canonical_map,
         "kg_typed_nodes": q_kg_typed_nodes,
         "kg_edges_canonical": q_kg_edges_canonical,
         "kg_communities": q_kg_communities,
@@ -885,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted late in r4 (driver-green r1-r3) to give the five
         # late-r4 operators their first driver rows:
         "kg_mention_counts": q_kg_mention_counts,
+        "kg_canonical_map": q_kg_canonical_map,
+        "kg_duplicate_of": q_kg_duplicate_of,
         "kg_cross_batch_map": q_kg_cross_batch_map,
         "kg_typed_edges": q_kg_typed_edges,
         "kg_episodes": q_kg_episodes,
@@ -936,6 +980,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_documents": oracle.simhash_pairs_sql(),
         "jaccard_pairs_documents": oracle.jaccard_pairs_sql(),
         "span_dups_documents": oracle.span_dups_sql(),
+        "curation_pipeline": oracle.curation_pipeline_sql(n_hashes=8, band_width=8),
+        "minhash_star_documents": oracle.minhash_star_sql(),
         "quality_bins_documents": oracle.QUALITY_BINS_DOCUMENTS,
         "shard_documents": oracle.SHARD_DOCUMENTS,
         "lang_id_documents": oracle.LANG_ID_DOCUMENTS,

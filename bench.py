@@ -133,6 +133,14 @@ def main() -> None:
         force(ann.centroid_outliers(embs))
         force(ann.semdedup_pairs(embs, threshold=0.35, n_centroids=8, n_probe=4))
 
+    def q_curation_pipeline():
+        # flagship curation composition (star-LSH dedup -> CC keep-list
+        # -> quality gate -> decontamination -> temperature mix ->
+        # shard layout), the documents-side analog of kg_pipeline
+        import __spark_entry__ as se
+
+        force(se.q_curation_pipeline(spark, sf_dir))
+
     def q_tpch_mix():
         li = read("lineitem")
         force(
@@ -156,6 +164,7 @@ def main() -> None:
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "curation_r4": q_curation_r4,
+        "curation_pipeline": q_curation_pipeline,
         "tpch_mix": q_tpch_mix,
     }
 

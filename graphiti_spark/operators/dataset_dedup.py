@@ -120,6 +120,41 @@ def minhash_pairs(
     )
 
 
+def minhash_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_width: int = 4,
+) -> DataFrame:
+    """STAR-contracted LSH dedup edges — the at-scale alternative to
+    `minhash_pairs` for connectivity-only dedup (the GPT-3/Pile-style
+    MinHashLSH → union-find recipe): per (band, h) bucket, emit one
+    edge (doc → bucket-min doc) instead of all within-bucket pairs.
+    O(n · n_bands) edges regardless of duplicate-cluster size, versus
+    O(Σ cluster²) for the pair join — on a corpus where 90% of
+    documents share a few near-dup families the pair join emits
+    millions of rows per bucket and the star join emits one per
+    member. Connectivity is IDENTICAL to the all-pairs graph within
+    each bucket (a star spans its bucket), so `dedup_resolve` /
+    connected components produce the same components as pairs with no
+    est-Jaccard threshold (band collision IS the match criterion;
+    raise band_width to tighten it). Returns (src, dst) with
+    src < dst, deduplicated.
+
+    Scale: one groupBy(band, h) min-aggregation (map-side combine) +
+    one broadcast-size join back on the band key — both shuffles are
+    md5-uniform; no pair blow-up to cap."""
+    bands = minhash_bands(df, text_col, id_col, n_hashes, band_width)
+    mins = bands.groupBy("band", "h").agg(F.min("id").alias("root"))
+    return (
+        bands.join(mins, ["band", "h"])
+        .filter(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("id").alias("dst"))
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", n_bits: int = 16) -> DataFrame:
     """SimHash fingerprint: bit b = majority vote over tokens of the
     parity of hex digit b of md5(token). Returns input + `simhash` long.

@@ -1239,6 +1239,111 @@ FROM r2 GROUP BY src, dst
 HAVING max(run) + {k - 1} >= {min_span}"""
 
 
+def minhash_star_sql(n_hashes: int = 8, band_width: int = 4) -> str:
+    """Mirror of operators/dataset_dedup.minhash_star_edges: per
+    (band, h) bucket emit (bucket-min, member) star edges."""
+    n_bands = n_hashes // band_width
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS band, md5(concat_ws('|', "
+        + ", ".join(f"mh{i * band_width + r}" for r in range(band_width))
+        + ")) AS h FROM sig"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+sig AS (
+  SELECT doc_id,
+         {_mh_cols(n_hashes)}
+  FROM toks GROUP BY doc_id),
+bands AS (
+{band_selects}),
+mins AS (SELECT band, h, min(doc_id) AS root FROM bands GROUP BY band, h)
+SELECT DISTINCT m.root AS src, b.doc_id AS dst
+FROM bands b JOIN mins m USING (band, h)
+WHERE b.doc_id <> m.root"""
+
+
+def curation_pipeline_sql(n_hashes: int = 8, band_width: int = 8) -> str:
+    """End-to-end curation pipeline oracle, composed from the per-stage
+    oracles exactly as __spark_entry__.q_curation_pipeline composes the
+    operators: star-contracted MinHash-LSH dedup edges (band collision
+    is the match criterion; the star spans each bucket, so components
+    equal the all-pairs graph's) → connected-components keep-list
+    (DuckDB side: recursive-CTE transitive closure — component minimum
+    mirrors the Spark CC's min-label semantics) → quality >= 0.5 →
+    decontamination vs the every-50th-doc stand-in benchmark →
+    temperature mix over the SURVIVOR lang strata (salt 'curate') →
+    md5-keyed shard layout (8 shards, salt 'curate-shard')."""
+    n_bands = n_hashes // band_width
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS band, md5(concat_ws('|', "
+        + ", ".join(f"mh{i * band_width + r}" for r in range(band_width))
+        + ")) AS h FROM sig"
+        for i in range(n_bands)
+    )
+    hex_int = (
+        "cast(list_sum(list_transform(range(1, 9),"
+        " i -> (strpos('0123456789abcdef', substr(sort_key, i, 1)) - 1)"
+        " * cast(pow(16, 8 - i) AS bigint))) AS bigint)"
+    )
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+sig AS (
+  SELECT doc_id,
+         {_mh_cols(n_hashes)}
+  FROM toks GROUP BY doc_id),
+bands AS (
+{band_selects}),
+mins AS (SELECT band, h, min(doc_id) AS root FROM bands GROUP BY band, h),
+pairs AS (
+  SELECT DISTINCT m.root AS src, b.doc_id AS dst
+  FROM bands b JOIN mins m USING (band, h)
+  WHERE b.doc_id <> m.root),
+edges AS (SELECT src AS a, dst AS b FROM pairs UNION SELECT dst, src FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+canon AS (SELECT a AS doc_id, least(a, min(b)) AS canonical FROM reach GROUP BY a),
+keepdup AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL OR c.canonical = d.doc_id),
+qual AS (SELECT doc_id FROM ({QUALITY_DOCUMENTS}) WHERE quality >= 0.5),
+clean AS (SELECT doc_id FROM ({CONTAMINATION_DOCUMENTS}) WHERE NOT contaminated),
+survivors AS (
+  SELECT d.doc_id, d.lang FROM documents d
+  SEMI JOIN keepdup USING (doc_id)
+  SEMI JOIN qual USING (doc_id)
+  SEMI JOIN clean USING (doc_id)),
+counts AS (SELECT lang, cast(count(*) AS double) AS n_s FROM survivors GROUP BY lang),
+tot AS (SELECT sum(n_s) AS n_total, sum(pow(n_s, 0.5)) AS z FROM counts),
+rates AS (
+  SELECT lang,
+         least(1.0, 0.5 * tot.n_total * pow(counts.n_s, 0.5) / tot.z / counts.n_s) AS rate
+  FROM counts CROSS JOIN tot),
+r2 AS (
+  SELECT lang, rate,
+         lpad(lower(to_hex(cast(floor(rate * 4294967296.0) AS bigint))), 8, '0') AS thresh
+  FROM rates),
+mixed AS (
+  SELECT s.doc_id, s.lang, round(r2.rate, 4) AS rate
+  FROM survivors s JOIN r2 USING (lang)
+  WHERE r2.rate >= 1.0
+     OR substr(md5(concat_ws(':', 'curate', s.lang, cast(s.doc_id AS varchar))), 1, 8) < r2.thresh),
+keyed AS (
+  SELECT doc_id, md5('curate-shard:' || cast(doc_id AS varchar)) AS sort_key FROM mixed),
+shards AS (
+  SELECT doc_id, sort_key, cast({hex_int} % 8 AS integer) AS shard FROM keyed),
+placed AS (
+  SELECT doc_id, shard,
+         cast(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS bigint) AS pos
+  FROM shards)
+SELECT m.doc_id, m.lang, m.rate, p.shard, p.pos
+FROM mixed m JOIN placed p USING (doc_id)"""
+
+
 def jaccard_pairs_sql(threshold: float = 0.5) -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tokset FROM documents),

@@ -541,3 +541,32 @@ def test_shard_assign_deterministic_layout(spark):
     # shard matches the documented md5 construction
     h = int(hashlib.md5(b"shuffle:42").hexdigest()[:8], 16)
     assert int(a.set_index("doc_id").loc[42, "shard"]) == h % 16
+
+
+def test_minhash_star_edges_component_equivalence(spark, sf_dir):
+    """Star-contracted LSH edges (O(n·bands)) must induce the SAME
+    connected components as the all-pairs band join (no est threshold:
+    band collision is the match criterion for both)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ddp.minhash_pairs(docs, threshold=0.0)
+    stars = ddp.minhash_star_edges(docs)
+    via_pairs = ddp.dedup_resolve(docs, pairs).toPandas().set_index("doc_id")
+    via_stars = ddp.dedup_resolve(docs, stars).toPandas().set_index("doc_id")
+    assert via_pairs["canonical_id"].to_dict() == via_stars["canonical_id"].to_dict()
+    # and the star graph is strictly smaller on this dup-dense corpus
+    assert stars.count() < pairs.count()
+
+
+def test_curation_pipeline_invariants(spark, sf_dir):
+    """End-to-end curation composition: survivors are real documents,
+    sharding is a valid within-shard permutation, rates in (0, 1]."""
+    import __spark_entry__ as e
+
+    out = e.q_curation_pipeline(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").toPandas()
+    assert len(out) > 0
+    assert set(out.doc_id) <= set(docs.doc_id)
+    assert ((out.rate > 0) & (out.rate <= 1.0)).all()
+    assert out.shard.between(0, 7).all()
+    for _, g in out.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
