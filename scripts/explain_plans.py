@@ -64,6 +64,11 @@ def main() -> None:
         "tfidf_top_terms_documents",
         "centroid_outliers",
         "pack_sequences_documents",
+        "span_dups_documents",
+        "quality_bins_documents",
+        "shard_documents",
+        "minhash_star_documents",
+        "curation_pipeline",
     ]:
         show(name, qs[name](spark, sf_dir))
     # pushdown sanity: projection+filter reaches the parquet scan

@@ -570,3 +570,53 @@ def test_curation_pipeline_invariants(spark, sf_dir):
     assert out.shard.between(0, 7).all()
     for _, g in out.groupby("shard"):
         assert sorted(g.pos) == list(range(1, len(g) + 1))
+
+
+def test_span_dups_matches_bruteforce_lcs(spark):
+    """Randomized corpus: longest_span must equal the brute-force
+    longest common token substring for every emitted pair, and a pair
+    is emitted iff that LCS >= k."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(40)]
+    base = [rng.choice(vocab) for _ in range(60)]
+    docs = []
+    for i in range(12):
+        if i % 3 == 0:
+            start = rng.randrange(0, 40)
+            length = rng.randrange(5, 20)
+            toks = (
+                [rng.choice(vocab) for _ in range(rng.randrange(0, 8))]
+                + base[start : start + length]
+                + [rng.choice(vocab) for _ in range(rng.randrange(0, 8))]
+            )
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randrange(10, 50))]
+        docs.append((i, " ".join(toks)))
+    k = 5
+
+    def lcs_tokens(a: list[str], b: list[str]) -> int:
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                if x == y:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    toks = {i: t.split() for i, t in docs}
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            l = lcs_tokens(toks[i], toks[j])
+            if l >= k:
+                expected[(i, j)] = l
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = ddp.span_dups(df, k=k).toPandas()
+    got_spans = {(int(r.src), int(r.dst)): int(r.longest_span) for r in got.itertuples()}
+    assert got_spans == expected
