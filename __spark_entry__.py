@@ -669,6 +669,12 @@ def q_span_dups_documents(spark, sf_dir):
     return ddp.span_dups(_read(spark, sf_dir, "documents"), k=8, max_df=100)
 
 
+def q_span_removal_documents(spark, sf_dir):
+    # the removal half of substring dedup: per-doc merged token ranges
+    # covered by any cross-document >= 8-token span
+    return ddp.span_removal_plan(_read(spark, sf_dir, "documents"), k=8)
+
+
 def q_contamination_documents(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     # deterministic stand-in benchmark: every 50th document (mirrored
@@ -854,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "minhash_star_documents": q_minhash_star_documents,
         "span_dups_documents": q_span_dups_documents,
+        "span_removal_documents": q_span_removal_documents,
         "quality_bins_documents": q_quality_bins_documents,
         "shard_documents": q_shard_documents,
         "unigram_lm_documents": q_unigram_lm_documents,
@@ -864,7 +871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_edges": q_kg_edges,
         "kg_typed_nodes": q_kg_typed_nodes,
-        "kg_edges_canonical": q_kg_edges_canonical,
         "kg_communities": q_kg_communities,
         "kg_search_hybrid": q_kg_search_hybrid,
         "kg_search_recipes": q_kg_search_recipes,
@@ -928,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late-r4 operators their first driver rows:
         "kg_mention_counts": q_kg_mention_counts,
         "kg_canonical_map": q_kg_canonical_map,
+        "kg_edges_canonical": q_kg_edges_canonical,
         "kg_duplicate_of": q_kg_duplicate_of,
         "kg_cross_batch_map": q_kg_cross_batch_map,
         "kg_typed_edges": q_kg_typed_edges,
@@ -980,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_documents": oracle.simhash_pairs_sql(),
         "jaccard_pairs_documents": oracle.jaccard_pairs_sql(),
         "span_dups_documents": oracle.span_dups_sql(),
+        "span_removal_documents": oracle.span_removal_sql(),
         "curation_pipeline": oracle.curation_pipeline_sql(n_hashes=8, band_width=8),
         "minhash_star_documents": oracle.minhash_star_sql(),
         "quality_bins_documents": oracle.QUALITY_BINS_DOCUMENTS,

@@ -507,6 +507,70 @@ def span_dups(
     )
 
 
+def span_removal_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The REMOVAL half of substring dedup (Lee et al. 2022 cut the
+    duplicated bytes and keep the rest): for each document, the maximal
+    merged token ranges covered by a >= k-token span shared with at
+    least one OTHER document. Returns (doc_id, tok_start, tok_end)
+    with 1-based tok_start, exclusive tok_end — the slice list a
+    dedup writer applies.
+
+    Needs NO pair join at all: an anchor participates in a cross-doc
+    duplicated span iff its k-gram appears in >= 2 distinct documents
+    (one count-distinct per gram), so the plan is explode → one
+    gram-keyed aggregate → semi-join back → one per-doc window to
+    merge overlapping anchors. Because every anchor interval has the
+    same length k, intervals sorted by start have monotone ends, so
+    the merge is the plain gaps-and-islands lag() rule (new island iff
+    i > prev_i + k) — no running-max state. `max_df` (upper cap)
+    optionally drops boilerplate grams from the REMOVAL plan too (df
+    > max_df means the span is template text you may prefer to handle
+    with a dedicated boilerplate filter instead of cutting per doc).
+
+    Scale: one md5-uniform gram shuffle + one per-doc window whose
+    partition is a single document's anchor set — nothing quadratic
+    anywhere; strictly cheaper than span_dups."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), lambda t: t != ""
+        ).alias("_tk"),
+    ).filter(F.size("_tk") >= k)
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_tk) - {k - 1}),"
+                f" i -> md5(concat_ws(' ', slice(_tk, i, {k}))))"
+            )
+        ).alias("pos0", "gh"),
+    ).select("id", (F.col("pos0") + 1).alias("i"), "gh")
+    dfreq = grams.groupBy("gh").agg(F.countDistinct("id").alias("_df"))
+    shared = dfreq.filter(F.col("_df") >= 2)
+    if max_df is not None:
+        shared = shared.filter(F.col("_df") <= max_df)
+    anchors = grams.join(shared.select("gh"), "gh", "left_semi")
+    w = Window.partitionBy("id").orderBy("i")
+    islands = anchors.withColumn(
+        "_new",
+        (F.col("i") > F.coalesce(F.lag("i").over(w), F.lit(-(10**9))) + k).cast("int"),
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        islands.groupBy(F.col("id").alias(id_col), "_island")
+        .agg(
+            F.min("i").cast("long").alias("tok_start"),
+            (F.max("i") + k).cast("long").alias("tok_end"),
+        )
+        .select(id_col, "tok_start", "tok_end")
+    )
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -1344,6 +1344,41 @@ SELECT m.doc_id, m.lang, m.rate, p.shard, p.pos
 FROM mixed m JOIN placed p USING (doc_id)"""
 
 
+def span_removal_sql(k: int = 8, max_df: int | None = None) -> str:
+    """Mirror of operators/dataset_dedup.span_removal_plan: anchors
+    whose k-gram appears in >= 2 distinct docs, merged into maximal
+    per-doc ranges with the same lag()-based islands rule (equal-length
+    intervals make starts-sorted ends monotone)."""
+    cap = f" AND df <= {max_df}" if max_df is not None else ""
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, len(tk) - {k - 2})) AS i,
+         unnest(list_transform(range(1, len(tk) - {k - 2}),
+                               i -> md5(array_to_string(tk[i:i+{k - 1}], ' ')))) AS gh
+  FROM tk WHERE len(tk) >= {k}),
+dfreq AS (SELECT gh, count(DISTINCT doc_id) AS df FROM grams GROUP BY gh),
+shared AS (SELECT gh FROM dfreq WHERE df >= 2{cap}),
+anchors AS (SELECT g.doc_id, g.i FROM grams g SEMI JOIN shared USING (gh)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i > coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i),
+                                -1000000000) + {k}
+              THEN 1 ELSE 0 END AS newi
+  FROM anchors),
+isl2 AS (
+  SELECT doc_id, i,
+         sum(newi) OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM isl)
+SELECT doc_id, cast(min(i) AS bigint) AS tok_start,
+       cast(max(i) + {k} AS bigint) AS tok_end
+FROM isl2 GROUP BY doc_id, island"""
+
+
 def jaccard_pairs_sql(threshold: float = 0.5) -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tokset FROM documents),

@@ -620,3 +620,50 @@ def test_span_dups_matches_bruteforce_lcs(spark):
     got = ddp.span_dups(df, k=k).toPandas()
     got_spans = {(int(r.src), int(r.dst)): int(r.longest_span) for r in got.itertuples()}
     assert got_spans == expected
+
+
+def test_span_removal_plan_matches_bruteforce(spark):
+    """Randomized corpus: removal ranges must equal the brute-force
+    'positions covered by any cross-doc shared k-gram, merged' sets."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(30)]
+    base = [rng.choice(vocab) for _ in range(50)]
+    docs = []
+    for i in range(10):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(12, 40))]
+        if i % 2 == 0:
+            s = rng.randrange(0, 35)
+            ln = rng.randrange(6, 15)
+            at = rng.randrange(0, len(toks))
+            toks = toks[:at] + base[s : s + ln] + toks[at:]
+        docs.append((i, " ".join(toks)))
+    k = 5
+
+    toks = {i: t.split() for i, t in docs}
+    grams: dict[tuple, set] = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            grams.setdefault(tuple(tk[p : p + k]), set()).add(i)
+    expected = {}
+    for i, tk in toks.items():
+        covered = set()
+        for p in range(len(tk) - k + 1):
+            if len(grams[tuple(tk[p : p + k])]) >= 2:
+                covered.update(range(p + 1, p + k + 1))  # 1-based tokens
+        ranges = []
+        for pos in sorted(covered):
+            if ranges and pos == ranges[-1][1]:
+                ranges[-1][1] = pos + 1
+            else:
+                ranges.append([pos, pos + 1])
+        for s, e in ranges:
+            expected[(i, s)] = e
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = ddp.span_removal_plan(df, k=k).toPandas()
+    got_ranges = {
+        (int(r.doc_id), int(r.tok_start)): int(r.tok_end) for r in got.itertuples()
+    }
+    assert got_ranges == expected
