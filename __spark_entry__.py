@@ -693,6 +693,14 @@ def q_quality_bins_documents(spark, sf_dir):
     return dtx.quantile_bins(scored, "bits_per_token", n_bins=4, strat_col="lang")
 
 
+def q_importance_sample_documents(spark, sf_dir):
+    # DSIR-style score-proportional acceptance over the C4-style
+    # quality score (rate = quality in [0,1])
+    docs = _read(spark, sf_dir, "documents")
+    scored = dtx.quality_score(docs).select("doc_id", "quality")
+    return dmx.importance_sample(scored, "quality")
+
+
 def q_shard_documents(spark, sf_dir):
     return dmx.shard_assign(_read(spark, sf_dir, "documents"), n_shards=16)
 
@@ -863,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal_documents": q_span_removal_documents,
         "quality_bins_documents": q_quality_bins_documents,
         "shard_documents": q_shard_documents,
+        "importance_sample_documents": q_importance_sample_documents,
         "unigram_lm_documents": q_unigram_lm_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
@@ -873,7 +882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typed_nodes": q_kg_typed_nodes,
         "kg_communities": q_kg_communities,
         "kg_search_hybrid": q_kg_search_hybrid,
-        "kg_search_recipes": q_kg_search_recipes,
         "kg_episode_subgraph": q_kg_episode_subgraph,
         "kg_remove_episode": q_kg_remove_episode,
         "kg_add_triplets": q_kg_add_triplets,
@@ -934,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late-r4 operators their first driver rows:
         "kg_mention_counts": q_kg_mention_counts,
         "kg_canonical_map": q_kg_canonical_map,
+        "kg_search_recipes": q_kg_search_recipes,
         "kg_edges_canonical": q_kg_edges_canonical,
         "kg_duplicate_of": q_kg_duplicate_of,
         "kg_cross_batch_map": q_kg_cross_batch_map,
@@ -992,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_star_documents": oracle.minhash_star_sql(),
         "quality_bins_documents": oracle.QUALITY_BINS_DOCUMENTS,
         "shard_documents": oracle.SHARD_DOCUMENTS,
+        "importance_sample_documents": oracle.importance_sample_sql(),
         "lang_id_documents": oracle.LANG_ID_DOCUMENTS,
         "quality_documents": oracle.QUALITY_DOCUMENTS,
         "token_counts_documents": oracle.TOKEN_COUNTS_DOCUMENTS,

@@ -125,6 +125,38 @@ def temperature_mix(
     )
 
 
+def importance_sample(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    scale: float = 1.0,
+    salt: str = "isample",
+) -> DataFrame:
+    """Score-proportional (importance) sampling — the DSIR/quality-
+    weighted acceptance step: keep each row with probability
+    rate = clamp(scale · score, 0, 1), realized with the same
+    deterministic md5-threshold membership as `stratified_sample`
+    (reproducible across runs, engines, partitionings and retries —
+    rand() would resample on every task retry). Returns the kept rows
+    as (id, rate) with the applied per-row rate.
+
+    Scale: map-only — the per-row threshold is computed from the score
+    column in the same projection as the md5 key; no shuffle, no
+    state, and the parquet scan prunes to (id, score)."""
+    rate = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(scale) * F.col(score_col)))
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(rate * F.lit(float(_HASH_SPACE))))), 8, "0"
+    )
+    key = F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    return (
+        df.select(F.col(id_col), rate.alias("_rate"), thresh.alias("_thresh"))
+        .filter(
+            (F.col("_rate") >= 1.0) | (F.substring(F.md5(key), 1, 8) < F.col("_thresh"))
+        )
+        .select(id_col, F.round("_rate", 4).alias("rate"))
+    )
+
+
 def shard_assign(
     df: DataFrame,
     n_shards: int = 16,

@@ -855,6 +855,25 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id"""
 
 
+def importance_sample_sql() -> str:
+    """Mirror of operators/dataset_mix.importance_sample over the
+    C4-style quality score (scale=1, salt 'isample'): per-row keep
+    rate = clamp(quality, 0, 1), threshold from the identical
+    floor(rate * 16^8) → 8-hex-lpad construction."""
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({QUALITY_DOCUMENTS})),
+r AS (
+  SELECT doc_id,
+         least(1.0, greatest(0.0, quality)) AS rate,
+         lpad(lower(to_hex(cast(floor(least(1.0, greatest(0.0, quality))
+                                      * 4294967296.0) AS bigint))), 8, '0') AS thresh
+  FROM q)
+SELECT doc_id, round(rate, 4) AS rate
+FROM r
+WHERE rate >= 1.0
+   OR substr(md5(concat_ws(':', 'isample', cast(doc_id AS varchar))), 1, 8) < thresh"""
+
+
 # Mirrors operators/dataset_mix.shard_assign (n_shards=16, salt
 # 'shuffle'): shard = first-8-hex-digits of md5 mod 16 (the hex→int
 # conversion is spelled out digit-by-digit because DuckDB has no conv();

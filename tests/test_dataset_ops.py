@@ -667,3 +667,19 @@ def test_span_removal_plan_matches_bruteforce(spark):
         (int(r.doc_id), int(r.tok_start)): int(r.tok_end) for r in got.itertuples()
     }
     assert got_ranges == expected
+
+
+def test_importance_sample_rate_proportional(spark):
+    """Acceptance frequency tracks the per-row rate; deterministic
+    across calls; rate 1.0 rows always kept, rate 0.0 never."""
+    rows = [(i, 0.0) for i in range(100)] + [(100 + i, 1.0) for i in range(100)]
+    rows += [(200 + i, 0.5) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    a = dmx.importance_sample(df, "score").toPandas()
+    b = dmx.importance_sample(df, "score").toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    kept = set(a.doc_id)
+    assert all(100 + i in kept for i in range(100))       # rate 1 kept
+    assert not any(i in kept for i in range(100))         # rate 0 dropped
+    mid = sum(1 for i in range(400) if 200 + i in kept)
+    assert 140 <= mid <= 260  # ~Binomial(400, 0.5), generous bound
