@@ -157,6 +157,20 @@ def importance_sample(
     )
 
 
+def shard_key_expr(id_col: str, salt: str):
+    """The md5 shuffle key shared by `shard_assign` and the streaming
+    curation path — shard membership must be a pure function of the id
+    so it is stable across micro-batches, retries and engines."""
+    return F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+
+
+def shard_expr(id_col: str, n_shards: int, salt: str):
+    """Shard bucket column (no position): first 8 md5 hex digits mod
+    n_shards, as an expression usable in both batch and streaming."""
+    key = shard_key_expr(id_col, salt)
+    return (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+
+
 def shard_assign(
     df: DataFrame,
     n_shards: int = 16,
@@ -177,7 +191,7 @@ def shard_assign(
     the shard writer needs anyway (sortWithinPartitions before write),
     never a global order-by. n_shards scales with the corpus (one shard
     ≈ one loader file group), keeping each sort partition bounded."""
-    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    key = shard_key_expr(id_col, salt)
     bucket = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
     w = Window.partitionBy("shard").orderBy("sort_key", id_col)
     return (

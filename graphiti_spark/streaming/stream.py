@@ -262,6 +262,96 @@ def stream_neardedup_minhash(
     )
 
 
+def stream_curation(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = 0.5,
+    n_shards: int = 16,
+    retention_sec: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_col: str = "ts",
+):
+    """Incremental document curation — the streaming face of the batch
+    `curation_pipeline` flagship. Per micro-batch (foreachBatch, the
+    same at-least-once + idempotent pattern as the incremental KG
+    pipeline and the streaming near-dedup):
+
+    1. C4-style quality gate: `dataset_text.quality_score` >=
+       min_quality (identical expression to the batch pipeline, so a
+       document passes streaming iff it passes batch);
+    2. exact dedup vs a persistent FINGERPRINT store using the batch
+       `fingerprint_expr` (batch and streaming agree on identity);
+       within-batch duplicates keep the min id;
+    3. survivors get their shard via `dataset_mix.shard_expr` — shard
+       membership is a pure function of doc_id, so it is stable
+       across micro-batches, replays and engines (a per-batch
+       row_number position is NOT emitted: positions are a batch-final
+       layout concern, assigned by `shard_assign` when a training run
+       snapshots the curated table) — and append to
+       `{out_dir}/curated.parquet`;
+    4. novel fingerprints (stamped with the batch max event time)
+       append to the store AFTER the document write — novel-first
+       crash ordering re-emits on retry instead of silently dropping —
+       with `retention_sec` pruning as the store's watermark analog.
+
+    A replayed batch collides with its own stored fingerprints and
+    emits nothing: exactly-once output falls out of at-least-once."""
+    import os
+
+    from graphiti_spark.operators import dataset_mix as dmx
+
+    store_path = f"{out_dir}/fingerprint_store.parquet"
+    curated_path = f"{out_dir}/curated.parquet"
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        scored = (
+            dtx.quality_score(batch_df, text_col)
+            .filter(F.col("quality") >= min_quality)
+            .withColumn("fingerprint", dtx.fingerprint_expr(text_col))
+            .localCheckpoint()
+        )
+        if os.path.exists(store_path):
+            store = spark.read.parquet(store_path)
+            fresh = scored.join(
+                store.select("fingerprint"), "fingerprint", "left_anti"
+            )
+        else:
+            store = None
+            fresh = scored
+        # within-batch exact dups: min id per fingerprint keeps
+        keeper = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+        novel = fresh.join(keeper, [id_col, "fingerprint"], "left_semi").localCheckpoint()
+        (
+            novel.select(
+                id_col, event_col, "quality", "fingerprint",
+                dmx.shard_expr(id_col, n_shards, "shuffle").alias("shard"),
+            )
+            .write.mode("append")
+            .parquet(curated_path)
+        )
+        max_ts = novel.agg(F.max(event_col)).first()[0]
+        new_fps = novel.select("fingerprint", F.lit(max_ts).alias("ts"))
+        merged = store.unionByName(new_fps) if store is not None else new_fps
+        if retention_sec is not None and max_ts is not None:
+            merged = merged.filter(
+                F.col("ts") >= F.lit(max_ts) - F.expr(f"INTERVAL {retention_sec} SECONDS")
+            )
+        merged.localCheckpoint().coalesce(8).write.mode("overwrite").parquet(store_path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_turn_counts(stream: DataFrame, window: str = "5 minutes", slide: str | None = None) -> DataFrame:
     """Streaming windowed aggregation example over the turn stream
     (watermark + window → late-data-tolerant counts per conversation)."""

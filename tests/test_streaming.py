@@ -187,3 +187,49 @@ def test_stream_neardedup_minhash(spark, tmp_path):
     # the band store holds only surviving docs' bands
     store = spark.read.parquet(f"{out_dir}/band_store.parquet").toPandas()
     assert set(store.columns) == {"band", "h", "ts"} and len(store) == 4 * len(got)
+
+
+def test_stream_curation(spark, tmp_path):
+    """Streaming curation: low-quality docs are gated out, exact dups
+    are dropped across micro-batches via the fingerprint store (and
+    min-id-wins within a batch), survivors carry their deterministic
+    shard, and a replayed text under a new id emits nothing."""
+    import datetime as _dt
+    import hashlib
+    import time as _time
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = _dt.datetime(2025, 1, 1)
+    a = "The quick brown fox jumps over the lazy dog and naps in the sun."
+    b = "Marine biology research covers the coastal ecosystems of the north."
+    c = "Alpine geology surveys describe the slow uplift of the mountains."
+    b1 = [
+        (1, a, t0),
+        (2, "#### 1234 !!!!", t0),               # fails the quality gate
+        (7, "  " + a.upper() + "  ", t0),        # same fingerprint as 1 -> min id keeps
+    ]
+    b2 = [
+        (3, a, t0 + _dt.timedelta(minutes=1)),   # exact dup of stored 1
+        (4, b, t0 + _dt.timedelta(minutes=1)),
+    ]
+    b3 = [
+        (5, b, t0 + _dt.timedelta(minutes=2)),   # replay of 4's text, new id
+        (6, c, t0 + _dt.timedelta(minutes=2)),
+    ]
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(str(in_dir))
+        _time.sleep(1.1)
+
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+    out_dir = str(tmp_path / "curated_out")
+    q = st.stream_curation(src, out_dir, str(tmp_path / "ckpt_cur"))
+    q.awaitTermination(180)
+    got = spark.read.parquet(f"{out_dir}/curated.parquet").toPandas()
+    assert sorted(got.doc_id) == [1, 4, 6], sorted(got.doc_id)
+    # shard is the pure-function md5 bucket (stable across batches)
+    h = int(hashlib.md5(b"shuffle:1").hexdigest()[:8], 16)
+    assert int(got.set_index("doc_id").loc[1, "shard"]) == h % 16
+    store = spark.read.parquet(f"{out_dir}/fingerprint_store.parquet").toPandas()
+    assert len(store) == 3 and set(store.columns) == {"fingerprint", "ts"}
