@@ -419,6 +419,30 @@ def paragraph_dups(
     )
 
 
+def _kgram_anchors(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, i, gh) rows: md5 of each sliding k-token window (whitespace
+    tokens, lowercased), i 1-based. ONE definition shared by span_dups
+    and span_removal_plan — the Spark half of the anchor contract the
+    DuckDB oracles mirror (oracle._kgram_grams_cte)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), lambda t: t != ""
+        ).alias("_tk"),
+    ).filter(F.size("_tk") >= k)
+    return toks.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_tk) - {k - 1}),"
+                f" i -> md5(concat_ws(' ', slice(_tk, i, {k}))))"
+            )
+        ).alias("pos0", "gh"),
+    ).select("id", (F.col("pos0") + 1).alias("i"), "gh")
+
+
 def span_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -455,21 +479,7 @@ def span_dups(
     md5-uniform outside the capped boilerplate."""
     if min_span is None:
         min_span = k
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), lambda t: t != ""
-        ).alias("_tk"),
-    ).filter(F.size("_tk") >= k)
-    grams = toks.select(
-        "id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(_tk) - {k - 1}),"
-                f" i -> md5(concat_ws(' ', slice(_tk, i, {k}))))"
-            )
-        ).alias("pos0", "gh"),
-    ).select("id", (F.col("pos0") + 1).alias("i"), "gh")
+    grams = _kgram_anchors(df, text_col, id_col, k)
     if max_df is not None:
         keep = (
             grams.groupBy("gh")
@@ -536,21 +546,7 @@ def span_removal_plan(
     Scale: one md5-uniform gram shuffle + one per-doc window whose
     partition is a single document's anchor set — nothing quadratic
     anywhere; strictly cheaper than span_dups."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), lambda t: t != ""
-        ).alias("_tk"),
-    ).filter(F.size("_tk") >= k)
-    grams = toks.select(
-        "id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(_tk) - {k - 1}),"
-                f" i -> md5(concat_ws(' ', slice(_tk, i, {k}))))"
-            )
-        ).alias("pos0", "gh"),
-    ).select("id", (F.col("pos0") + 1).alias("i"), "gh")
+    grams = _kgram_anchors(df, text_col, id_col, k)
     dfreq = grams.groupBy("gh").agg(F.countDistinct("id").alias("_df"))
     shared = dfreq.filter(F.col("_df") >= 2)
     if max_df is not None:

@@ -21,6 +21,16 @@ from pyspark.sql import functions as F
 _HASH_SPACE = 16 ** 8
 
 
+def _thresh_expr(rate):
+    """8-hex-digit md5 threshold COLUMN for a rate column in [0, 1] —
+    the column-level twin of `rate_threshold_hex`. One definition: the
+    exact lpad/lower/hex/floor spelling must match the DuckDB oracles
+    character-for-character, so every operator that derives per-row or
+    per-stratum rates (temperature_mix, importance_sample) goes through
+    this expression."""
+    return F.lpad(F.lower(F.hex(F.floor(rate * F.lit(float(_HASH_SPACE))))), 8, "0")
+
+
 def rate_threshold_hex(rate: float) -> str:
     """Map a sampling rate in [0, 1] to the 8-hex-digit threshold such
     that P[substr(md5(key), 1, 8) < threshold] == rate (up to 2**-32).
@@ -107,12 +117,7 @@ def temperature_mix(
                 F.lit(budget_frac) * F.col("_n_total") * F.pow(n_s, F.lit(alpha)) / F.col("_z") / n_s,
             ),
         )
-        .withColumn(
-            "_thresh",
-            F.lpad(
-                F.lower(F.hex(F.floor(F.col("_rate") * F.lit(float(_HASH_SPACE))))), 8, "0"
-            ),
-        )
+        .withColumn("_thresh", _thresh_expr(F.col("_rate")))
         .select(strat_col, "_rate", "_thresh")
     )
     key = F.concat_ws(":", F.lit(salt), F.col(strat_col), F.col(id_col).cast("string"))
@@ -144,9 +149,7 @@ def importance_sample(
     column in the same projection as the md5 key; no shuffle, no
     state, and the parquet scan prunes to (id, score)."""
     rate = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(scale) * F.col(score_col)))
-    thresh = F.lpad(
-        F.lower(F.hex(F.floor(rate * F.lit(float(_HASH_SPACE))))), 8, "0"
-    )
+    thresh = _thresh_expr(rate)
     key = F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
     return (
         df.select(F.col(id_col), rate.alias("_rate"), thresh.alias("_thresh"))
@@ -191,14 +194,12 @@ def shard_assign(
     the shard writer needs anyway (sortWithinPartitions before write),
     never a global order-by. n_shards scales with the corpus (one shard
     ≈ one loader file group), keeping each sort partition bounded."""
-    key = shard_key_expr(id_col, salt)
-    bucket = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
     w = Window.partitionBy("shard").orderBy("sort_key", id_col)
     return (
         df.select(
             F.col(id_col),
-            (bucket % n_shards).cast("int").alias("shard"),
-            key.alias("sort_key"),
+            shard_expr(id_col, n_shards, salt).alias("shard"),
+            shard_key_expr(id_col, salt).alias("sort_key"),
         )
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos")

@@ -832,7 +832,10 @@ FROM documents d
 LEFT JOIN lagg ON d.doc_id = lagg.doc_id
 LEFT JOIN top ON d.doc_id = top.doc_id AND top.rn = 1"""
 
-UNIGRAM_LM_DOCUMENTS = """
+# shared WITH-chain of the unigram-LM score (one definition, composed
+# into both the plain score query and the quantile-bins query below so
+# the two cannot drift apart)
+_UNIGRAM_LM_CORE = """
 WITH dt AS (
   SELECT doc_id, token, count(*) AS c
   FROM (SELECT doc_id,
@@ -848,10 +851,27 @@ scored AS (
          round(sum(dt.c * -log2((vocab.c_t + 1.0) / (tot.n_total + tot.v_size)))
                / sum(dt.c), 4) AS bits_per_token
   FROM dt JOIN vocab USING (token) CROSS JOIN tot
-  GROUP BY dt.doc_id)
+  GROUP BY dt.doc_id)"""
+
+UNIGRAM_LM_DOCUMENTS = f"""{_UNIGRAM_LM_CORE}
 SELECT d.doc_id,
        coalesce(scored.n_tokens, 0) AS n_tokens,
        coalesce(scored.bits_per_token, 0.0) AS bits_per_token
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id"""
+
+# Mirrors operators/dataset_text.quantile_bins over the unigram-LM
+# score, stratified per lang (the CCNet perplexity-bucket shape):
+# NTILE(4) over (lang, bits_per_token, doc_id) — both engines bin the
+# ALREADY-ROUNDED score with the doc_id tie-break, so bins agree
+# bit-for-bit.
+QUALITY_BINS_DOCUMENTS = f"""{_UNIGRAM_LM_CORE}
+SELECT d.doc_id,
+       coalesce(scored.n_tokens, 0) AS n_tokens,
+       coalesce(scored.bits_per_token, 0.0) AS bits_per_token,
+       d.lang,
+       cast(ntile(4) OVER (PARTITION BY d.lang
+                           ORDER BY coalesce(scored.bits_per_token, 0.0), d.doc_id)
+            AS integer) AS bin
 FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id"""
 
 
@@ -892,29 +912,6 @@ b AS (
 SELECT doc_id, shard,
        cast(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS bigint) AS pos
 FROM b"""
-
-
-# Mirrors operators/dataset_text.quantile_bins over the unigram-LM
-# score, stratified per lang (the CCNet perplexity-bucket shape):
-# NTILE(4) over (lang, bits_per_token, doc_id) — both engines bin the
-# ALREADY-ROUNDED score with the doc_id tie-break, so bins agree
-# bit-for-bit.
-QUALITY_BINS_DOCUMENTS = (
-    UNIGRAM_LM_DOCUMENTS.replace(
-        """SELECT d.doc_id,
-       coalesce(scored.n_tokens, 0) AS n_tokens,
-       coalesce(scored.bits_per_token, 0.0) AS bits_per_token
-FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id""",
-        """SELECT d.doc_id,
-       coalesce(scored.n_tokens, 0) AS n_tokens,
-       coalesce(scored.bits_per_token, 0.0) AS bits_per_token,
-       d.lang,
-       cast(ntile(4) OVER (PARTITION BY d.lang
-                           ORDER BY coalesce(scored.bits_per_token, 0.0), d.doc_id)
-            AS integer) AS bin
-FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id""",
-    )
-)
 
 
 def _pii_sql() -> str:
@@ -1234,16 +1231,7 @@ def span_dups_sql(k: int = 8, min_span: int | None = None, max_df: int | None = 
         else "\ng2 AS (SELECT * FROM grams),"
     )
     return f"""
-WITH tk AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
-  FROM documents),
-grams AS (
-  SELECT doc_id,
-         unnest(range(1, len(tk) - {k - 2})) AS i,
-         unnest(list_transform(range(1, len(tk) - {k - 2}),
-                               i -> md5(array_to_string(tk[i:i+{k - 1}], ' ')))) AS gh
-  FROM tk WHERE len(tk) >= {k}),{cap}
+WITH {_kgram_grams_cte(k)},{cap}
 m AS (
   SELECT a.doc_id AS src, b.doc_id AS dst, a.i AS ia, a.i - b.i AS diag
   FROM g2 a JOIN g2 b ON a.gh = b.gh AND a.doc_id < b.doc_id),
@@ -1258,9 +1246,16 @@ FROM r2 GROUP BY src, dst
 HAVING max(run) + {k - 1} >= {min_span}"""
 
 
-def minhash_star_sql(n_hashes: int = 8, band_width: int = 4) -> str:
-    """Mirror of operators/dataset_dedup.minhash_star_edges: per
-    (band, h) bucket emit (bucket-min, member) star edges."""
+_STAR_EDGE_SELECT = """SELECT DISTINCT m.root AS src, b.doc_id AS dst
+  FROM bands b JOIN mins m USING (band, h)
+  WHERE b.doc_id <> m.root"""
+
+
+def _star_edges_ctes(n_hashes: int, band_width: int) -> str:
+    """toks/sig/bands/mins CTE chain for star-contracted LSH edges —
+    ONE definition shared by minhash_star_sql and curation_pipeline_sql
+    so the composed pipeline oracle can never drift from the per-stage
+    oracle it is built from."""
     n_bands = n_hashes // band_width
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {i} AS band, md5(concat_ws('|', "
@@ -1268,8 +1263,7 @@ def minhash_star_sql(n_hashes: int = 8, band_width: int = 4) -> str:
         + ")) AS h FROM sig"
         for i in range(n_bands)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
 sig AS (
   SELECT doc_id,
@@ -1277,10 +1271,15 @@ sig AS (
   FROM toks GROUP BY doc_id),
 bands AS (
 {band_selects}),
-mins AS (SELECT band, h, min(doc_id) AS root FROM bands GROUP BY band, h)
-SELECT DISTINCT m.root AS src, b.doc_id AS dst
-FROM bands b JOIN mins m USING (band, h)
-WHERE b.doc_id <> m.root"""
+mins AS (SELECT band, h, min(doc_id) AS root FROM bands GROUP BY band, h)"""
+
+
+def minhash_star_sql(n_hashes: int = 8, band_width: int = 4) -> str:
+    """Mirror of operators/dataset_dedup.minhash_star_edges: per
+    (band, h) bucket emit (bucket-min, member) star edges."""
+    return f"""
+WITH {_star_edges_ctes(n_hashes, band_width)}
+  {_STAR_EDGE_SELECT}"""
 
 
 def curation_pipeline_sql(n_hashes: int = 8, band_width: int = 8) -> str:
@@ -1294,32 +1293,15 @@ def curation_pipeline_sql(n_hashes: int = 8, band_width: int = 8) -> str:
     decontamination vs the every-50th-doc stand-in benchmark →
     temperature mix over the SURVIVOR lang strata (salt 'curate') →
     md5-keyed shard layout (8 shards, salt 'curate-shard')."""
-    n_bands = n_hashes // band_width
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {i} AS band, md5(concat_ws('|', "
-        + ", ".join(f"mh{i * band_width + r}" for r in range(band_width))
-        + ")) AS h FROM sig"
-        for i in range(n_bands)
-    )
     hex_int = (
         "cast(list_sum(list_transform(range(1, 9),"
         " i -> (strpos('0123456789abcdef', substr(sort_key, i, 1)) - 1)"
         " * cast(pow(16, 8 - i) AS bigint))) AS bigint)"
     )
     return f"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
-sig AS (
-  SELECT doc_id,
-         {_mh_cols(n_hashes)}
-  FROM toks GROUP BY doc_id),
-bands AS (
-{band_selects}),
-mins AS (SELECT band, h, min(doc_id) AS root FROM bands GROUP BY band, h),
+WITH RECURSIVE {_star_edges_ctes(n_hashes, band_width)},
 pairs AS (
-  SELECT DISTINCT m.root AS src, b.doc_id AS dst
-  FROM bands b JOIN mins m USING (band, h)
-  WHERE b.doc_id <> m.root),
+  {_STAR_EDGE_SELECT}),
 edges AS (SELECT src AS a, dst AS b FROM pairs UNION SELECT dst, src FROM pairs),
 reach AS (
   SELECT a, b FROM edges
@@ -1363,14 +1345,11 @@ SELECT m.doc_id, m.lang, m.rate, p.shard, p.pos
 FROM mixed m JOIN placed p USING (doc_id)"""
 
 
-def span_removal_sql(k: int = 8, max_df: int | None = None) -> str:
-    """Mirror of operators/dataset_dedup.span_removal_plan: anchors
-    whose k-gram appears in >= 2 distinct docs, merged into maximal
-    per-doc ranges with the same lag()-based islands rule (equal-length
-    intervals make starts-sorted ends monotone)."""
-    cap = f" AND df <= {max_df}" if max_df is not None else ""
-    return f"""
-WITH tk AS (
+def _kgram_grams_cte(k: int) -> str:
+    """tk + grams CTE bodies: (doc_id, i, gh) k-gram anchors — the
+    DuckDB half of the anchor contract (operators/dataset_dedup
+    ._kgram_anchors), shared by span_dups_sql and span_removal_sql."""
+    return f"""tk AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
   FROM documents),
@@ -1379,7 +1358,17 @@ grams AS (
          unnest(range(1, len(tk) - {k - 2})) AS i,
          unnest(list_transform(range(1, len(tk) - {k - 2}),
                                i -> md5(array_to_string(tk[i:i+{k - 1}], ' ')))) AS gh
-  FROM tk WHERE len(tk) >= {k}),
+  FROM tk WHERE len(tk) >= {k})"""
+
+
+def span_removal_sql(k: int = 8, max_df: int | None = None) -> str:
+    """Mirror of operators/dataset_dedup.span_removal_plan: anchors
+    whose k-gram appears in >= 2 distinct docs, merged into maximal
+    per-doc ranges with the same lag()-based islands rule (equal-length
+    intervals make starts-sorted ends monotone)."""
+    cap = f" AND df <= {max_df}" if max_df is not None else ""
+    return f"""
+WITH {_kgram_grams_cte(k)},
 dfreq AS (SELECT gh, count(DISTINCT doc_id) AS df FROM grams GROUP BY gh),
 shared AS (SELECT gh FROM dfreq WHERE df >= 2{cap}),
 anchors AS (SELECT g.doc_id, g.i FROM grams g SEMI JOIN shared USING (gh)),

@@ -335,7 +335,11 @@ def stream_curation(
             .parquet(curated_path)
         )
         max_ts = novel.agg(F.max(event_col)).first()[0]
-        new_fps = novel.select("fingerprint", F.lit(max_ts).alias("ts"))
+        # cast: an all-filtered first batch has max_ts=None, and a bare
+        # lit(None) writes a void column Spark 3.x parquet rejects
+        new_fps = novel.select(
+            "fingerprint", F.lit(max_ts).cast("timestamp").alias("ts")
+        )
         merged = store.unionByName(new_fps) if store is not None else new_fps
         if retention_sec is not None and max_ts is not None:
             merged = merged.filter(
