@@ -57,7 +57,10 @@ def q_kg_episodes(spark, sf_dir):
 
 
 def q_kg_prev_window(spark, sf_dir):
-    return ep_ops.with_prev_context(_eps(spark, sf_dir)).select(
+    # the salted (hot-conversation-safe) window — exactly equivalent to
+    # with_prev_context (pytest equivalence), so the DuckDB oracle
+    # verifies the salted implementation end-to-end
+    return ep_ops.with_prev_context_salted(_eps(spark, sf_dir)).select(
         "uuid",
         "group_id",
         F.size("prev_uuids").cast("bigint").alias("n_prev"),

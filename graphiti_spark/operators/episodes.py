@@ -62,6 +62,50 @@ def with_prev_context(episodes: DataFrame, window_len: int = EPISODE_WINDOW_LEN)
     )
 
 
+def with_prev_context_salted(
+    episodes: DataFrame,
+    window_len: int = EPISODE_WINDOW_LEN,
+    chunk: int = 8192,
+) -> DataFrame:
+    """EXACT salted form of `with_prev_context` for hot conversation
+    keys (the north-star 10¹²-turn design point): a single 10⁶-turn
+    conversation makes `with_prev_context`'s per-conversation window
+    one giant sort partition that AQE cannot split. Because the lookback
+    is a BOUNDED `window_len`-row frame, the window distributes exactly:
+    salt each conversation into `chunk`-turn ranges, and carry the last
+    `window_len` rows of each chunk into the next chunk's partition as
+    context-only rows (dropped from the output after the window runs).
+    The first rows of a chunk see exactly their true predecessors via
+    the carried rows; deeper rows never reach them (ROWS frame).
+    Identical output to the unsalted operator (pytest equivalence,
+    including conversations spanning many chunks); overhead is
+    window_len/chunk ≈ 0.04% duplicated rows.
+
+    Requires dense per-conversation turn_idx (0..n-1), which
+    `build_episodes` guarantees — the chunk boundary test is
+    `turn_idx % chunk`, not a rank (a rank would itself need the
+    unsalted window)."""
+    chunk_col = F.floor(F.col("turn_idx") / chunk)
+    main = episodes.withColumn("_chunk", chunk_col).withColumn("_carry", F.lit(False))
+    carry = (
+        episodes.filter((F.col("turn_idx") % chunk) >= chunk - window_len)
+        .withColumn("_chunk", chunk_col + 1)
+        .withColumn("_carry", F.lit(True))
+    )
+    u = main.unionByName(carry)
+    w = (
+        Window.partitionBy("group_id", "_chunk")
+        .orderBy("turn_idx")
+        .rowsBetween(-window_len, -1)
+    )
+    return (
+        u.withColumn("prev_uuids", F.collect_list("uuid").over(w))
+        .withColumn("prev_contents", F.collect_list("content").over(w))
+        .filter(~F.col("_carry"))
+        .drop("_chunk", "_carry")
+    )
+
+
 def retrieve_episodes(
     episodes: DataFrame,
     reference_time,

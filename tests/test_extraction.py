@@ -224,3 +224,34 @@ def test_clean_input_strips_invisible_chars(spark):
     )
     men_s = extraction.extract_mentions(eps_spark).toPandas()
     assert set(men_s["entity_name"]) == {"user", "Alice", "Acme"}
+
+
+def test_with_prev_context_salted_equivalence(spark):
+    """Salted prev-context (hot-key chunking with boundary carry) is
+    EXACTLY the unsalted window, including a conversation that spans
+    many chunks and one that straddles a single boundary."""
+    from graphiti_spark import transcripts as tr_mod  # noqa: F401  (import parity)
+
+    rows = []
+    for conv, n in (("hot", 57), ("short", 3), ("exact", 16)):
+        for i in range(n):
+            rows.append((conv, i, "user", f"{conv} says thing {i}", "", None))
+    import datetime as _dt
+
+    t0 = _dt.datetime(2025, 1, 1)
+    rows = [(c, i, r, t, tool, t0 + _dt.timedelta(seconds=i)) for c, i, r, t, tool, _ in rows]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    eps = ep_ops.build_episodes(tdf)
+    plain = ep_ops.with_prev_context(eps).toPandas().sort_values("uuid").reset_index(drop=True)
+    salted = (
+        ep_ops.with_prev_context_salted(eps, chunk=16)
+        .toPandas()
+        .sort_values("uuid")
+        .reset_index(drop=True)
+    )
+    assert len(plain) == len(salted) == 76
+    assert list(salted["uuid"]) == list(plain["uuid"])
+    for col in ("prev_uuids", "prev_contents"):
+        assert list(map(list, salted[col])) == list(map(list, plain[col]))
