@@ -43,6 +43,7 @@ def build_graph(
     with_embeddings: bool = True,
     share: bool = True,
     existing_nodes: DataFrame | None = None,
+    salt_hot_conversations: int | None = None,
 ) -> dict[str, DataFrame]:
     """Pure dataflow (no writes): transcripts → all graph tables.
 
@@ -73,8 +74,23 @@ def build_graph(
     # and is ~1.6x SLOWER than the two scans below — Arrow-serializing
     # and checkpointing the wide sparse union costs more than the second
     # regex sweep over the (checkpointed) episodes saves.
-    mentions_raw = ex.mentions_with_entity_uuid(ex.extract_mentions(episodes))
-    triples_raw = ex.triples_with_uuids(ex.extract_triples(episodes))
+    # Hot-conversation salting for the UDF scans (north-star 10¹²-turn
+    # design point): extraction is per-row, so re-keying its input by
+    # (group, turn-range) is EXACT and bounds any one conversation's
+    # rows per task at `salt_hot_conversations` turns. Opt-in because
+    # it adds one shuffle of the episodes and forfeits the group-
+    # aligned partitioning reuse downstream — worth it only when a
+    # single conversation can exceed ~10⁵ turns (AQE cannot split a
+    # skewed map-stage partition; it only splits join/agg reads). The
+    # prev-episode window gets the same treatment unconditionally via
+    # with_prev_context_salted (episodes.py), where salting is free.
+    udf_in = episodes
+    if salt_hot_conversations:
+        udf_in = episodes.repartition(
+            n_part, "group_id", F.floor(F.col("turn_idx") / salt_hot_conversations)
+        )
+    mentions_raw = ex.mentions_with_entity_uuid(ex.extract_mentions(udf_in))
+    triples_raw = ex.triples_with_uuids(ex.extract_triples(udf_in))
     if share:
         mentions_raw = mentions_raw.localCheckpoint(eager=False)
         triples_raw = triples_raw.localCheckpoint(eager=False)

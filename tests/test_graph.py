@@ -177,3 +177,22 @@ def test_pipeline_empty_input(spark):
         "uuid", "source_node_uuid", "target_node_uuid", "name", "fact",
         "valid_at", "invalid_at", "created_at", "expired_at",
     }
+
+
+def test_build_graph_salted_extraction_equivalence(spark):
+    """salt_hot_conversations re-keys only the UDF input; every output
+    table is identical to the unsalted build (extraction is per-row)."""
+    rows = []
+    for i in range(30):  # one "hot" conversation spanning many salt chunks
+        rows.append(("hot", i, "user", f"Alice likes Bob{i}.", f"2025-01-01 00:{i:02d}:00"))
+    rows += [
+        ("c1", 0, "user", "Carol works at Acme.", "2025-01-01 00:00:00"),
+        ("c1", 1, "user", "Carol moved to Paris.", "2025-01-02 00:00:00"),
+    ]
+    t = _tdf(spark, rows)
+    plain = pl.build_graph(t, with_embeddings=False)
+    salted = pl.build_graph(t, with_embeddings=False, salt_hot_conversations=8)
+    for name in ("edges", "nodes", "mentions"):
+        a = plain[name].toPandas().sort_values("uuid").reset_index(drop=True)
+        b = salted[name].toPandas().sort_values("uuid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
