@@ -143,8 +143,10 @@ def minhash_star_edges(
     src < dst, deduplicated.
 
     Scale: one groupBy(band, h) min-aggregation (map-side combine) +
-    one broadcast-size join back on the band key — both shuffles are
-    md5-uniform; no pair blow-up to cap."""
+    one bucket-keyed shuffle join back on the (band, h) key — `mins`
+    has one row per distinct bucket (corpus-scale, NOT broadcast-size);
+    both shuffles are md5-uniform; the win is the O(n·bands) edge
+    count, never a pair blow-up to cap."""
     bands = minhash_bands(df, text_col, id_col, n_hashes, band_width)
     mins = bands.groupBy("band", "h").agg(F.min("id").alias("root"))
     return (
@@ -241,18 +243,20 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
-    exact: bool = True,
+    exact: bool = False,
     n_band_bits: int = 4,
     n_bands: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (src, dst, cos) with src < dst,
     cos ≥ threshold, over an array<float> column.
 
-    `exact=True` is the brute-force baseline (self-join on nothing but
-    id ordering — correct, quadratic; use on bounded candidate sets;
-    the default here ONLY because it is the oracle-checkable baseline —
-    `exact=False` is the documented default at scale).
-    `exact=False` is the 100 TB path: OR-amplified sign-band LSH
+    `exact=False` (the DEFAULT — VERDICT r4 #3 flipped it so a caller
+    cannot accidentally run the quadratic baseline on a corpus) is the
+    100 TB path. `exact=True` is the brute-force baseline (self-join on
+    nothing but id ordering — correct, quadratic; use on bounded
+    candidate sets; it is what the `embed_dup_pairs` oracle entry pins
+    explicitly, because it is the oracle-checkable exact answer).
+    `exact=False` is OR-amplified sign-band LSH
     (`n_bands` band keys of `n_band_bits` sign bits each; explode +
     band equi-join, score only colliding pairs). Pair space drops from
     O(n²) to O(n_bands · Σ bucket²); recall 1-(1-p^bits)^bands is
@@ -349,6 +353,7 @@ def dedup_resolve(
     id_col: str = "doc_id",
     src: str = "src",
     dst: str = "dst",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Turn near-dup PAIRS into a per-document keep/drop verdict — the
     step a training pipeline actually applies before writing the
@@ -358,6 +363,15 @@ def dedup_resolve(
     lexicographic min == numeric min); documents in no pair keep
     themselves. Returns (doc_id, canonical_id, keep).
 
+    `group_col`: when the corpus is partitioned (shards, domains,
+    crawls) and the pair generator is group-scoped — so pairs NEVER
+    cross a `group_col` value — pass the column name (it must exist on
+    `pairs`). The resolve then routes through the packed executor-side
+    union-find (`connected_components_packed`): no driver count, no
+    collect, no iterative loop — one groupBy shuffle, embarrassingly
+    parallel across groups. This is the preferred plan whenever the
+    caller has a shard/group scope (VERDICT r4 #3).
+
     Scale: CC cost is bounded by the pair graph (already blocked by the
     upstream pair generator), not the corpus; the verdict join back to
     `docs` is one broadcast-or-shuffle hash join on the id. Compose
@@ -365,11 +379,15 @@ def dedup_resolve(
     simhash_pairs, embedding_dup_pairs, or exact-hash pairs."""
     from graphiti_spark.operators import connected_components as cc
 
-    p = pairs.select(
-        F.format_string("%019d", F.col(src).cast("long")).alias("src"),
-        F.format_string("%019d", F.col(dst).cast("long")).alias("dst"),
-    )
-    comp = cc.connected_components(p)
+    pad = lambda c: F.format_string("%019d", F.col(c).cast("long"))
+    if group_col is not None:
+        p = pairs.select(
+            F.col(group_col), pad(src).alias("src"), pad(dst).alias("dst")
+        )
+        comp = cc.connected_components_packed(p, group_col=group_col)
+    else:
+        p = pairs.select(pad(src).alias("src"), pad(dst).alias("dst"))
+        comp = cc.connected_components(p)
     m = comp.select(
         F.col("node").cast("long").alias(id_col),
         F.col("component").cast("long").alias("canonical_id"),

@@ -84,7 +84,20 @@ def with_prev_context_salted(
     Requires dense per-conversation turn_idx (0..n-1), which
     `build_episodes` guarantees — the chunk boundary test is
     `turn_idx % chunk`, not a rank (a rank would itself need the
-    unsalted window)."""
+    unsalted window).
+
+    The carry spans exactly ONE chunk back, so the equivalence holds
+    only when `window_len < chunk` — enforced, not assumed (ADVICE r4):
+    a small `chunk` (or huge `window_len`) would silently drop true
+    predecessors otherwise."""
+    if window_len >= chunk:
+        raise ValueError(
+            f"with_prev_context_salted requires window_len < chunk "
+            f"(got window_len={window_len}, chunk={chunk}): the boundary "
+            f"carry only spans one chunk back, so a larger window would "
+            f"silently lose true predecessors — raise `chunk` or use the "
+            f"unsalted with_prev_context"
+        )
     chunk_col = F.floor(F.col("turn_idx") / chunk)
     main = episodes.withColumn("_chunk", chunk_col).withColumn("_carry", F.lit(False))
     carry = (

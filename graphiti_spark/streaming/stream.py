@@ -25,6 +25,39 @@ from graphiti_spark.plans import materialize as mat
 from graphiti_spark.schemas import TRANSCRIPTS
 
 
+def _store_read_path(store_path: str) -> str | None:
+    """Live store generation, or the `.old` fallback a crash mid-swap
+    leaves behind (see _atomic_store_swap), or None for first batch."""
+    import os
+
+    if os.path.exists(store_path):
+        return store_path
+    if os.path.exists(store_path + ".old"):
+        return store_path + ".old"
+    return None
+
+
+def _atomic_store_swap(df: DataFrame, store_path: str) -> None:
+    """Commit a new state-store generation via write-to-temp + rename
+    swap (ADVICE r4): Spark's mode('overwrite') deletes then rewrites
+    in place, so a crash mid-write loses/corrupts the dedup state. Here
+    every crash point leaves a readable generation: before the first
+    rename the old store is live; between the renames the old store is
+    at `.old` (the reader falls back to it — state regresses one batch
+    and replay re-emits it: at-least-once, never corruption)."""
+    import os
+    import shutil
+
+    tmp_path, old_path = store_path + ".tmp", store_path + ".old"
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp_path)
+    shutil.rmtree(old_path, ignore_errors=True)
+    if os.path.exists(store_path):
+        os.rename(store_path, old_path)
+    os.rename(tmp_path, store_path)
+    shutil.rmtree(old_path, ignore_errors=True)
+
+
 def stream_transcripts_from_dir(
     spark: SparkSession, input_dir: str, watermark: str = "10 minutes"
 ) -> DataFrame:
@@ -197,8 +230,11 @@ def stream_neardedup_minhash(
        minus the retention — the band store's watermark analog, so
        state is bounded by the retention window, not the corpus.
 
-    A replayed batch collides with its own stored bands and emits
-    nothing — exactly-once output falls out of the store.
+    A replayed batch whose bands already reached the store collides and
+    emits nothing; at-least-once with a bounded duplicate window — a
+    crash between the novel write and the store commit re-emits that
+    batch on replay (absorbed by idempotent downstream merges). The
+    store commit is the crash-safe temp+rename swap.
     """
     import os
 
@@ -216,8 +252,9 @@ def stream_neardedup_minhash(
             batch_df, text_col=text_col, id_col=id_col,
             n_hashes=n_hashes, band_width=band_width,
         ).localCheckpoint()
-        if os.path.exists(store_path):
-            store = spark.read.parquet(store_path)
+        read_path = _store_read_path(store_path)
+        if read_path is not None:
+            store = spark.read.parquet(read_path)
             hit_ids = (
                 bands.join(store.select("band", "h"), ["band", "h"], "left_semi")
                 .select("id").distinct()
@@ -250,8 +287,8 @@ def stream_neardedup_minhash(
                 F.col("ts") >= F.lit(max_ts) - F.expr(f"INTERVAL {retention_sec} SECONDS")
             )
         # store is small (bands of surviving docs in the retention
-        # window); rewrite-in-place via a checkpoint of the merged view
-        merged.localCheckpoint().coalesce(8).write.mode("overwrite").parquet(store_path)
+        # window); committed via the crash-safe temp+rename swap
+        _atomic_store_swap(merged.localCheckpoint().coalesce(8), store_path)
 
     return (
         stream.writeStream.outputMode("append")
@@ -296,8 +333,18 @@ def stream_curation(
        crash ordering re-emits on retry instead of silently dropping —
        with `retention_sec` pruning as the store's watermark analog.
 
-    A replayed batch collides with its own stored fingerprints and
-    emits nothing: exactly-once output falls out of at-least-once."""
+    Delivery guarantee: **at-least-once with a bounded duplicate
+    window** (ADVICE r4 corrected the earlier "exactly-once" claim).
+    A replayed batch whose fingerprints ALREADY reached the store
+    collides and emits nothing — the common replay path is
+    duplicate-free — but a crash in the window between the curated
+    append and the store commit re-emits that one batch's documents on
+    replay. Downstream exact dedup (the batch `dedup_exact` on
+    fingerprint) removes them idempotently. The store commit itself is
+    a write-to-temp + directory swap (never an in-place overwrite), so
+    a crash mid-commit can never corrupt or truncate the dedup state:
+    the previous store generation survives as `.old` and the reader
+    falls back to it."""
     import os
 
     from graphiti_spark.operators import dataset_mix as dmx
@@ -315,8 +362,9 @@ def stream_curation(
             .withColumn("fingerprint", dtx.fingerprint_expr(text_col))
             .localCheckpoint()
         )
-        if os.path.exists(store_path):
-            store = spark.read.parquet(store_path)
+        read_path = _store_read_path(store_path)
+        if read_path is not None:
+            store = spark.read.parquet(read_path)
             fresh = scored.join(
                 store.select("fingerprint"), "fingerprint", "left_anti"
             )
@@ -345,7 +393,7 @@ def stream_curation(
             merged = merged.filter(
                 F.col("ts") >= F.lit(max_ts) - F.expr(f"INTERVAL {retention_sec} SECONDS")
             )
-        merged.localCheckpoint().coalesce(8).write.mode("overwrite").parquet(store_path)
+        _atomic_store_swap(merged.localCheckpoint().coalesce(8), store_path)
 
     return (
         stream.writeStream.outputMode("append")

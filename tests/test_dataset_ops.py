@@ -683,3 +683,42 @@ def test_importance_sample_rate_proportional(spark):
     assert not any(i in kept for i in range(100))         # rate 0 dropped
     mid = sum(1 for i in range(400) if 200 + i in kept)
     assert 140 <= mid <= 260  # ~Binomial(400, 0.5), generous bound
+
+
+def test_dedup_resolve_grouped_matches_ungrouped(spark):
+    """VERDICT r4 #4: on a sharded corpus whose pair generator is
+    group-scoped (pairs never cross the shard), the `group_col`
+    passthrough — packed executor-side union-find, no driver count or
+    collect — must produce verdicts identical to the ungrouped path."""
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    # per-shard duplicate chains: shard s{g} links g*10 .. g*10+9
+    pairs = spark.createDataFrame(
+        [(g * 10 + k, g * 10 + k + 1, f"s{g}") for g in range(3) for k in range(9)],
+        "src long, dst long, shard string",
+    )
+    ung = (
+        ddp.dedup_resolve(docs, pairs)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    grp = (
+        ddp.dedup_resolve(docs, pairs, group_col="shard")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ung, grp)
+    # the chains must actually have resolved transitively
+    assert list(ung["canonical_id"]) == [10 * (i // 10) for i in range(30)]
+
+
+def test_embedding_dup_pairs_defaults_to_lsh(spark, sf_dir):
+    """VERDICT r4 #3: the signature default is the scale-safe LSH path
+    (exact=False); exact pairs must be a superset of the LSH pairs and
+    every LSH pair must carry the true cosine (scores are computed on
+    the real vectors, banding only prunes candidates)."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id < 60")
+    got_default = ddp.embedding_dup_pairs(embs, threshold=0.35).toPandas()
+    got_exact = ddp.embedding_dup_pairs(embs, threshold=0.35, exact=True).toPandas()
+    exact_pairs = {(r.src, r.dst): r.cos for r in got_exact.itertuples()}
+    for r in got_default.itertuples():
+        assert (r.src, r.dst) in exact_pairs
+        assert abs(exact_pairs[(r.src, r.dst)] - r.cos) < 1e-9
+    assert len(got_default) <= len(got_exact)

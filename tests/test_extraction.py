@@ -9,6 +9,7 @@ conversation, and per-turn text equality must hold under stable
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from graphiti_spark import rules, transcripts
 from graphiti_spark.operators import episodes as ep_ops
@@ -255,3 +256,19 @@ def test_with_prev_context_salted_equivalence(spark):
     assert list(salted["uuid"]) == list(plain["uuid"])
     for col in ("prev_uuids", "prev_contents"):
         assert list(map(list, salted[col])) == list(map(list, plain[col]))
+
+
+def test_with_prev_context_salted_rejects_big_window(spark):
+    """The boundary carry spans exactly one chunk back, so the exact-
+    equivalence contract requires window_len < chunk — enforced with a
+    ValueError instead of silently losing predecessors (ADVICE r4)."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2025, 1, 1)
+    tdf = spark.createDataFrame(
+        [("c", i, "user", f"t{i}", "", t0 + _dt.timedelta(seconds=i)) for i in range(8)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    eps = ep_ops.build_episodes(tdf)
+    with pytest.raises(ValueError, match="window_len < chunk"):
+        ep_ops.with_prev_context_salted(eps, window_len=4, chunk=4)

@@ -233,3 +233,34 @@ def test_stream_curation(spark, tmp_path):
     assert int(got.set_index("doc_id").loc[1, "shard"]) == h % 16
     store = spark.read.parquet(f"{out_dir}/fingerprint_store.parquet").toPandas()
     assert len(store) == 3 and set(store.columns) == {"fingerprint", "ts"}
+
+
+def test_atomic_store_swap_and_fallback(spark, tmp_path):
+    """The state-store commit is a temp+rename swap (ADVICE r4): a new
+    generation replaces the old atomically, and if a crash lands between
+    the two renames (live path gone, previous generation at .old) the
+    reader falls back to the surviving generation instead of losing the
+    dedup state."""
+    import os
+
+    from graphiti_spark.streaming import stream as st
+
+    store = str(tmp_path / "store.parquet")
+    g1 = spark.createDataFrame([("a",), ("b",)], "fingerprint string")
+    st._atomic_store_swap(g1, store)
+    assert st._store_read_path(store) == store
+    assert sorted(
+        r.fingerprint for r in spark.read.parquet(store).collect()
+    ) == ["a", "b"]
+    # second generation replaces the first; no .tmp/.old residue
+    g2 = spark.createDataFrame([("a",), ("b",), ("c",)], "fingerprint string")
+    st._atomic_store_swap(g2, store)
+    assert spark.read.parquet(store).count() == 3
+    assert not os.path.exists(store + ".tmp") and not os.path.exists(store + ".old")
+    # simulate a crash between the two renames: live gone, .old present
+    os.rename(store, store + ".old")
+    assert st._store_read_path(store) == store + ".old"
+    assert spark.read.parquet(st._store_read_path(store)).count() == 3
+    # the next commit heals the store back to the live path
+    st._atomic_store_swap(g2, store)
+    assert st._store_read_path(store) == store
