@@ -708,6 +708,18 @@ def q_shard_documents(spark, sf_dir):
     return dmx.shard_assign(_read(spark, sf_dir, "documents"), n_shards=16)
 
 
+def q_quantile_bins_approx_documents(spark, sf_dir):
+    """Rows-only by design: the Greenwald-Khanna sketch behind
+    approx_percentile is engine-specific, so no cross-engine oracle
+    exists; the error bound vs the exact NTILE is pytest-gated
+    (test_quantile_bins_approx_error_bound)."""
+    docs = _read(spark, sf_dir, "documents")
+    scored = dtx.unigram_lm_score(docs)
+    return dtx.quantile_bins_approx(scored, "bits_per_token", n_bins=4).select(
+        "doc_id", "bin"
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """Flagship curation composition — the documents-side analog of
     kg_pipeline: star-contracted MinHash-LSH dedup edges →
@@ -795,12 +807,15 @@ def q_embed_dup_pairs(spark, sf_dir):
     ).select("src", "dst", F.round("cos", 4).alias("cos"))
 
 
-# rows-only dataset ops
-
 def q_ann_lsh_topk(spark, sf_dir):
+    # oracle-checked since r5 (VERDICT r4 #5): the sign-band LSH is
+    # deterministic, so DuckDB replicates the exact candidate set
     embs = _read(spark, sf_dir, "embeddings")
     probes = embs.filter("vec_id < 4").select(F.col("vec_id").alias("qid"), "embedding")
-    return ann.lsh_bucket_topk(probes, embs, k=5)
+    return ann.lsh_bucket_topk(probes, embs, k=5).select(
+        "qid", "vec_id", F.round("score", 4).alias("score"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )
 
 
 def q_multimodal_resize(spark, sf_dir):
@@ -916,7 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_resolve_documents": q_dedup_resolve_documents,
-        "multimodal_resize": q_multimodal_resize,
+        # new in r5 (needs its first driver rows; rows-only by design)
+        "quantile_bins_approx_documents": q_quantile_bins_approx_documents,
         # --- Entries below sit past the driver's 50-query correctness
         # window by design: each was driver-green (rows+schema+hash)
         # in CORRECTNESS_r01..r03 and is demoted here so that the
@@ -955,6 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": q_kg_bfs,
         "kg_node_distance": q_kg_node_distance,
         "kg_uuid_map_alias": q_kg_uuid_map_alias,
+        # demoted in r5 (driver-green R rows in r4) to open a window
+        # slot for quantile_bins_approx_documents:
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -1026,4 +1045,6 @@ def oracle_sql() -> dict[str, str]:
         "cross_encoder_documents": oracle.CROSS_ENCODER_DOCUMENTS,
         "embed_dup_pairs": oracle.EMBED_DUP_PAIRS,
         "dedup_resolve_documents": oracle.DEDUP_RESOLVE_DOCUMENTS,
+        "ann_lsh_topk": oracle.ann_lsh_topk_sql(),
+        "embed_dup_pairs_lsh": oracle.embed_dup_pairs_lsh_sql(),
     }

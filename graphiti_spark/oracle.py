@@ -1457,8 +1457,80 @@ SELECT doc_id,
        round(len(list_intersect({_TOKS}, ['data', 'join', 'query', 'spark'])) / 4.0, 4) AS score
 FROM documents"""
 
+def _sign_band_keys_sql(vec: str, n_bits: int, n_bands: int) -> str:
+    """DuckDB list literal of the 'band:bucket' sign-LSH keys —
+    function-for-function the Spark `functions.embeddings.
+    sim_bands_multi`: band j's bucket is the integer whose bit i is set
+    iff vector element (1-indexed) j*n_bits + i + 1 is >= 0. The Spark
+    side tests the sign of the L2-NORMALIZED value, but normalization
+    is a positive scaling so the raw-value test is identical (and the
+    all-zero vector passes >= 0 either way)."""
+    keys = []
+    for j in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN {vec}[{j * n_bits + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(n_bits)
+        )
+        keys.append(f"'{j}:' || cast({bits} AS varchar)")
+    return "[" + ", ".join(keys) + "]"
+
+
+def ann_lsh_topk_sql(k: int = 5, n_bits: int = 4, n_bands: int = 12) -> str:
+    """Oracle for the OR-amplified sign-band approximate top-k
+    (dataset_ann.lsh_bucket_topk): the banding is deterministic (sign
+    bits of fixed dimensions), so DuckDB reproduces the exact candidate
+    set — probe meets index vector iff ANY band key matches — then the
+    same per-probe score/rn window. VERDICT r4 #5 upgraded this from
+    rows-only to oracle-checked."""
+    keys = _sign_band_keys_sql("v", n_bits, n_bands)
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+b AS (SELECT vec_id, unnest({keys}) AS bucket FROM v),
+q AS (SELECT vec_id AS qid, bucket FROM b WHERE vec_id < 4),
+cand AS (SELECT DISTINCT q.qid, a.vec_id FROM b a JOIN q ON a.bucket = q.bucket),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * qq.v[i]))
+           / greatest(sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qq.v, x -> x * x))), 1e-12) AS score
+  FROM cand c
+  JOIN v a ON a.vec_id = c.vec_id
+  JOIN v qq ON qq.vec_id = c.qid),
+r AS (
+  SELECT qid, vec_id, round(score, 4) AS score,
+         cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS bigint) AS rn
+  FROM scored)
+SELECT qid, vec_id, score, rn FROM r WHERE rn <= {k}"""
+
+
+def embed_dup_pairs_lsh_sql(
+    threshold: float = 0.35, n_bits: int = 4, n_bands: int = 8
+) -> str:
+    """Oracle for the sign-band LSH embedding near-dup pairs
+    (dataset_dedup.embedding_dup_pairs exact=False — the production
+    default): candidates are pairs colliding in ANY band (deterministic
+    sign bits), scored with the true cosine. VERDICT r4 #5 upgraded
+    this from rows-only to oracle-checked."""
+    keys = _sign_band_keys_sql("v", n_bits, n_bands)
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+b AS (SELECT vec_id, unnest({keys}) AS bucket FROM v),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+p AS (
+  SELECT c.src, c.dst,
+         list_sum(list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i]))
+           / greatest(na.nrm * nb.nrm, 1e-12) AS cos
+  FROM cand c
+  JOIN n na ON na.vec_id = c.src
+  JOIN n nb ON nb.vec_id = c.dst)
+SELECT src, dst, round(cos, 4) AS cos FROM p WHERE cos >= {threshold}"""
+
+
 # Embedding-cosine near-dup pairs (brute-force baseline; the LSH
-# sign-band variant is the rows-only scale path).
+# sign-band variant has its own oracle above).
 EMBED_DUP_PAIRS = """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),

@@ -722,3 +722,53 @@ def test_embedding_dup_pairs_defaults_to_lsh(spark, sf_dir):
         assert (r.src, r.dst) in exact_pairs
         assert abs(exact_pairs[(r.src, r.dst)] - r.cos) < 1e-9
     assert len(got_default) <= len(got_exact)
+
+
+def test_quantile_bins_approx_error_bound(spark):
+    """The sort-free approx-cutoff binning (VERDICT r4 #7) must agree
+    with the exact global NTILE up to boundary rank error: with
+    accuracy >= n the sketch is exact, so on distinct scores only the
+    cutoff-rank convention can differ — at most n_bins docs sit on a
+    boundary, so misassignment <= n_bins/n; bins must also be monotone
+    in score (a value-range binning can never invert)."""
+    import numpy as np
+
+    n, n_bins = 400, 4
+    rng = np.random.default_rng(7)
+    scores = rng.normal(size=n)
+    pdf = pd.DataFrame({"doc_id": range(n), "score": scores})
+    df = spark.createDataFrame(pdf)
+    exact = (
+        dtx.quantile_bins(df, "score", n_bins=n_bins)
+        .toPandas().set_index("doc_id")["bin"]
+    )
+    approx = (
+        dtx.quantile_bins_approx(df, "score", n_bins=n_bins, accuracy=10_000)
+        .toPandas().set_index("doc_id")["bin"]
+    )
+    assert approx.min() >= 1 and approx.max() <= n_bins
+    mism = int((exact.reindex(approx.index) != approx).sum())
+    assert mism <= n_bins, f"{mism} misassigned docs vs exact NTILE"
+    # monotone in score: sorting by score must sort bins
+    srt = pdf.assign(bin=approx.reindex(pdf.doc_id).values).sort_values("score")
+    assert (srt["bin"].diff().fillna(0) >= 0).all()
+    # low accuracy still respects the documented rank-error bound
+    coarse = (
+        dtx.quantile_bins_approx(df, "score", n_bins=n_bins, accuracy=100)
+        .toPandas().set_index("doc_id")["bin"]
+    )
+    mism_c = int((exact.reindex(coarse.index) != coarse).sum())
+    assert mism_c <= n_bins * (n // 100 + 1)
+    # stratified variant: per-stratum cutoffs, same bound per stratum
+    pdf2 = pdf.assign(lang=np.where(pdf.doc_id % 2 == 0, "en", "de"))
+    df2 = spark.createDataFrame(pdf2)
+    strat = dtx.quantile_bins_approx(
+        df2, "score", n_bins=n_bins, accuracy=10_000, strat_col="lang"
+    ).toPandas()
+    for lang, grp in strat.groupby("lang"):
+        ex = (
+            dtx.quantile_bins(df2.filter(F.col("lang") == lang), "score", n_bins=n_bins)
+            .toPandas().set_index("doc_id")["bin"]
+        )
+        got = grp.set_index("doc_id")["bin"]
+        assert int((ex.reindex(got.index) != got).sum()) <= n_bins
