@@ -329,10 +329,19 @@ def q_kg_context(spark, sf_dir):
     return srch.search_context(tables["edges"], nodes, eps)
 
 
-# rows-only KG ops (iterative / non-SQL-expressible)
+# KG maintenance / search / iterative ops (kg_uuid_map_alias and
+# kg_episode_subgraph gained full oracles in r5; the rest stay
+# rows-only: iterative LPA, hash-embedding search, stateful removal)
 
 def q_kg_uuid_map_alias(spark, sf_dir):
-    t = tr.synthesize_transcripts(spark, n_convs=50, turns_per_conv=10)
+    """G1 connected components, oracle-checked with TRUE closure: the
+    chain corpus (transcripts.CHAIN_TRANSCRIPTS_SQL) makes each person's
+    duplicate component a star of three surface forms through the base
+    name, so the md5-min is frequently a leaf and a one-hop
+    least(raw, min(neighbor)) map would diverge — the DuckDB oracle
+    replicates the executor-side union-find with a recursive-CTE
+    reachability closure (oracle.KG_UUID_MAP_ALIAS)."""
+    t = tr.transcripts_from_events_chain(spark, sf_dir)
     tables = pl.build_graph(t, with_embeddings=False)
     return tables["uuid_map"]
 
@@ -398,10 +407,16 @@ def q_kg_search_hybrid(spark, sf_dir):
 
 
 def q_kg_episode_subgraph(spark, sf_dir):
-    """get_nodes_and_edges_by_episode (rows-only: canonical tables)."""
+    """get_nodes_and_edges_by_episode over the ALIASED corpus (so the
+    mention→node hop exercises canonicalization), oracle-checked:
+    oracle.KG_EPISODE_SUBGRAPH rebuilds the canonical edges' episode
+    provenance and the mention targets in SQL for the same first-5
+    episode selection."""
     from graphiti_spark.operators import graph_ops as go
 
-    tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
+    tables = pl.build_graph(
+        tr.transcripts_from_events_aliased(spark, sf_dir), with_embeddings=False
+    )
     tables = {k: v.localCheckpoint() for k, v in tables.items()}
     eps = tables["episodes"].filter(F.size("entity_edges") > 0).orderBy("uuid").limit(5)
     out = go.nodes_and_edges_by_episode(tables, eps.select("uuid"))
@@ -901,6 +916,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_search_hybrid": q_kg_search_hybrid,
         "kg_episode_subgraph": q_kg_episode_subgraph,
+        # r5: converted from rows-only to oracle-checked (recursive-CTE
+        # CC closure over the chain-alias corpus) — needs driver rows
+        # under the new semantics:
+        "kg_uuid_map_alias": q_kg_uuid_map_alias,
         "kg_remove_episode": q_kg_remove_episode,
         "kg_add_triplets": q_kg_add_triplets,
         "bm25_documents": q_bm25_documents,
@@ -910,7 +929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_documents": q_quality_documents,
-        "token_counts_documents": q_token_counts_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "repetition_documents": q_repetition_documents,
         "pii_documents": q_pii_documents,
@@ -970,10 +988,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": q_kg_nodes,
         "kg_bfs": q_kg_bfs,
         "kg_node_distance": q_kg_node_distance,
-        "kg_uuid_map_alias": q_kg_uuid_map_alias,
-        # demoted in r5 (driver-green R rows in r4) to open a window
-        # slot for quantile_bins_approx_documents:
+        # demoted in r5 (driver-green in r4) to open window slots for
+        # quantile_bins_approx_documents and the re-oracled
+        # kg_uuid_map_alias:
         "multimodal_resize": q_multimodal_resize,
+        "token_counts_documents": q_token_counts_documents,
     }
 
 
@@ -996,6 +1015,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_typed_nodes": oracle.KG_TYPED_NODES,
         "kg_typed_edges": oracle.KG_TYPED_EDGES,
         "kg_edges_canonical": oracle.KG_EDGES_CANONICAL,
+        "kg_episode_subgraph": oracle.KG_EPISODE_SUBGRAPH,
+        "kg_uuid_map_alias": oracle.KG_UUID_MAP_ALIAS,
         "kg_edge_candidates": oracle.KG_EDGE_CANDIDATE_PAIRS,
         "kg_bfs": oracle.KG_BFS,
         "kg_node_distance": oracle.KG_NODE_DISTANCE,

@@ -21,12 +21,14 @@ from __future__ import annotations
 from graphiti_spark import rules
 from graphiti_spark.transcripts import (
     ALIASED_TRANSCRIPTS_SQL,
+    CHAIN_TRANSCRIPTS_SQL,
     MIXED_EPISODES_SELECT,
     TRANSCRIPTS_SQL,
 )
 
 CTE_TRANSCRIPTS = f"transcripts AS ({TRANSCRIPTS_SQL})"
 CTE_TRANSCRIPTS_ALIAS = f"transcripts AS ({ALIASED_TRANSCRIPTS_SQL})"
+CTE_TRANSCRIPTS_CHAIN = f"transcripts AS ({CHAIN_TRANSCRIPTS_SQL})"
 
 CTE_EPS = """eps AS (
   SELECT md5(concat_ws('|', 'ep', conv_id, conv_id, cast(turn_idx AS string))) AS uuid,
@@ -535,6 +537,138 @@ SELECT min(edge_uuid) AS uuid, group_id,
        min(invalid_at) AS invalid_at,
        cast(count(DISTINCT episode_uuid) AS bigint) AS n_episodes
 FROM term GROUP BY group_id, csubj, cobj, pred"""
+
+def _kg_resolution_ctes(transcripts_cte: str) -> str:
+    """The KG_EDGES_CANONICAL middle block — entity dedupe map + triple
+    extraction + pointer rewrite + asserted/term split — parameterized
+    on the transcripts source, for derived oracles (episode subgraph).
+    Mirrors dedupe.resolve_nodes + edge_resolution.resolve_edges keying
+    exactly; see KG_EDGES_CANONICAL for the per-CTE commentary."""
+    return f"""{transcripts_cte},
+{CTE_EPS},
+  men AS ({_MEN}),
+  ent AS (
+    SELECT DISTINCT group_id,
+           md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+           entity_name AS name,
+           list_distinct(list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                                     t -> t <> '')) AS toks,
+           (list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                        t -> t <> ''))[1] AS ftok
+    FROM men),
+  dup AS (
+    SELECT a.group_id, a.uuid AS au, b.uuid AS bu
+    FROM ent a JOIN ent b
+      ON a.group_id = b.group_id AND a.uuid < b.uuid
+    WHERE lower(a.name) = lower(b.name)
+       OR (a.ftok = b.ftok
+           AND (list_has_all(a.toks, b.toks) OR list_has_all(b.toks, a.toks)))),
+  touched AS (
+    SELECT group_id, au AS raw, bu AS other FROM dup
+    UNION ALL
+    SELECT group_id, bu AS raw, au AS other FROM dup),
+  cmap AS (
+    SELECT group_id, raw, least(raw, min(other)) AS canon
+    FROM touched GROUP BY group_id, raw),
+  tri AS ({rules.triples_select_sql()}),
+  tric AS (
+    SELECT t.*,
+           md5(concat_ws('|', 'ed', t.group_id, t.episode_uuid,
+                         t.subj_name, t.pred, t.obj_name)) AS edge_uuid,
+           coalesce(cs.canon, md5(concat_ws('|', 'en', t.group_id, lower(t.subj_name)))) AS csubj,
+           coalesce(co.canon, md5(concat_ws('|', 'en', t.group_id, lower(t.obj_name)))) AS cobj
+    FROM tri t
+    LEFT JOIN cmap cs ON cs.group_id = t.group_id
+      AND cs.raw = md5(concat_ws('|', 'en', t.group_id, lower(t.subj_name)))
+    LEFT JOIN cmap co ON co.group_id = t.group_id
+      AND co.raw = md5(concat_ws('|', 'en', t.group_id, lower(t.obj_name)))),
+  asserted AS (SELECT * FROM tric WHERE valid_at IS NOT NULL),
+  term AS (SELECT * FROM tric WHERE invalid_at IS NOT NULL AND valid_at IS NULL),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY group_id, csubj, cobj, pred
+                                 ORDER BY valid_at, episode_uuid) AS rn
+    FROM asserted),
+  firstrow AS (SELECT * FROM ranked WHERE rn = 1)"""
+
+
+# S8/§3 get_nodes_and_edges_by_episode (graphiti.py:965-977): edges via
+# the episodes' entity_edges back-references (= the canonical edges
+# whose provenance `episodes` set contains the episode), nodes via
+# MENTIONS targets, for the first 5 episodes (by uuid) that created at
+# least one edge. Provenance mirrors edge_resolution.resolve_edges:
+# asserted edges carry the asserted rows' episode set keyed to the
+# rn=1 edge uuid; termination edges carry the term rows' episode set
+# keyed to the min term edge uuid.
+KG_EPISODE_SUBGRAPH = f"""WITH {{ctes}},
+  termg AS (
+    SELECT group_id, csubj, cobj, pred, min(edge_uuid) AS uuid
+    FROM term GROUP BY 1, 2, 3, 4),
+  prov AS (
+    SELECT f.edge_uuid AS uuid, a.episode_uuid
+    FROM asserted a JOIN firstrow f
+      ON f.group_id = a.group_id AND f.csubj = a.csubj
+     AND f.cobj = a.cobj AND f.pred = a.pred
+    UNION
+    SELECT g.uuid, t.episode_uuid
+    FROM term t JOIN termg g
+      ON g.group_id = t.group_id AND g.csubj = t.csubj
+     AND g.cobj = t.cobj AND g.pred = t.pred),
+  ep_sel AS (
+    SELECT DISTINCT episode_uuid FROM prov ORDER BY episode_uuid LIMIT 5)
+SELECT 'edge' AS object, uuid FROM (
+  SELECT DISTINCT p.uuid FROM prov p
+  WHERE p.episode_uuid IN (SELECT episode_uuid FROM ep_sel))
+UNION ALL
+SELECT 'node' AS object, uuid FROM (
+  SELECT DISTINCT coalesce(c.canon, m.raw) AS uuid
+  FROM (SELECT episode_uuid, group_id,
+               md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS raw
+        FROM men) m
+  LEFT JOIN cmap c ON c.group_id = m.group_id AND c.raw = m.raw
+  WHERE m.episode_uuid IN (SELECT episode_uuid FROM ep_sel))""".format(
+    ctes=_kg_resolution_ctes(CTE_TRANSCRIPTS_ALIAS)
+)
+
+# G1 true connected components, oracle-checked: over the CHAIN corpus
+# (star-shaped duplicate components through the base surface form —
+# see transcripts.CHAIN_TRANSCRIPTS_SQL) a one-hop least(raw,
+# min(neighbor)) map diverges from component minima whenever the md5
+# minimum is a leaf, so this oracle replicates the executor-side
+# union-find with a recursive-CTE reachability closure instead
+# (same pattern as curation_pipeline_sql's `reach`). Rows mirror
+# connected_components.uuid_map_from_pairs: every vertex of the pair
+# graph (identity rows for untouched entities omitted).
+KG_UUID_MAP_ALIAS = f"""WITH RECURSIVE {CTE_TRANSCRIPTS_CHAIN},
+{CTE_EPS},
+  men AS ({_MEN}),
+  ent AS (
+    SELECT DISTINCT group_id,
+           md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS uuid,
+           entity_name AS name,
+           list_distinct(list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                                     t -> t <> '')) AS toks,
+           (list_filter(string_split_regex(lower(trim(entity_name)), '\\s+'),
+                        t -> t <> ''))[1] AS ftok
+    FROM men),
+  dup AS (
+    SELECT a.group_id, a.uuid AS au, b.uuid AS bu
+    FROM ent a JOIN ent b
+      ON a.group_id = b.group_id AND a.uuid < b.uuid
+    WHERE lower(a.name) = lower(b.name)
+       OR (a.ftok = b.ftok
+           AND (list_has_all(a.toks, b.toks) OR list_has_all(b.toks, a.toks)))),
+  edges AS (
+    SELECT group_id, au AS a, bu AS b FROM dup
+    UNION
+    SELECT group_id, bu AS a, au AS b FROM dup),
+  reach AS (
+    SELECT group_id, a, b FROM edges
+    UNION
+    SELECT r.group_id, r.a, e.b
+    FROM reach r JOIN edges e ON e.group_id = r.group_id AND e.a = r.b)
+SELECT a AS raw_uuid, least(a, min(b)) AS canonical_uuid, group_id
+FROM reach GROUP BY group_id, a"""
+
 
 # J2/J4-edge: candidate edge pairs — same undirected endpoints + fact
 # word-overlap (search_utils.py:734-800; bulk_utils.py:297,313-337).

@@ -92,6 +92,30 @@ _PF = _sql_pick("user_id % 8", PEOPLE_FULL)
 _PA = f"CASE WHEN event_id % 16 >= 8 THEN {_PF} ELSE {_P} END"
 ALIASED_TRANSCRIPTS_SQL = _transcripts_sql(_PA)
 
+# Chain-alias variant: each person rotates through THREE surface forms
+# — base ("Carol"), full ("Carol King"), alt ("Carol Novak") — whose
+# two 2-token forms share only the first token, so the duplicate-pair
+# verdict (exact-lower OR first-token + token-subset) connects
+# full—base and alt—base but NOT full—alt: the duplicate graph is a
+# STAR through the base form and component membership genuinely needs
+# transitive closure. Because entity uuids are md5s, the component
+# minimum frequently lands on a LEAF, where a one-hop
+# least(raw, min(neighbor)) map (KG_CANONICAL_MAP's shape) diverges
+# from true connected components — this corpus is what lets the DuckDB
+# oracle check the executor-side union-find (G1) exactly, via a
+# recursive-CTE reachability closure (oracle.KG_UUID_MAP_ALIAS).
+# Alt second tokens are disjoint from PEOPLE_FULL's so no accidental
+# cross-person token bridges exist.
+PEOPLE_ALT = [
+    "Alice Reyes", "Bob Tanaka", "Carol Novak", "Dave Okafor",
+    "Erin Silva", "Frank Weber", "Grace Lindqvist", "Heidi Moreau",
+]
+_PALT = _sql_pick("user_id % 8", PEOPLE_ALT)
+_PCHAIN = (
+    f"CASE event_id % 3 WHEN 0 THEN {_P} WHEN 1 THEN {_PF} ELSE {_PALT} END"
+)
+CHAIN_TRANSCRIPTS_SQL = _transcripts_sql(_PCHAIN)
+
 
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
@@ -101,6 +125,11 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def transcripts_from_events_aliased(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(ALIASED_TRANSCRIPTS_SQL)
+
+
+def transcripts_from_events_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(CHAIN_TRANSCRIPTS_SQL)
 
 
 def transcripts_sql_cte() -> str:

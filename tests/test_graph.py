@@ -196,3 +196,45 @@ def test_build_graph_salted_extraction_equivalence(spark):
         a = plain[name].toPandas().sort_values("uuid").reset_index(drop=True)
         b = salted[name].toPandas().sort_values("uuid").reset_index(drop=True)
         pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_chain_corpus_requires_true_closure(spark, sf_dir):
+    """The chain-alias corpus (CHAIN_TRANSCRIPTS_SQL) is the fixture
+    that makes the kg_uuid_map_alias oracle a REAL test of G1: its
+    duplicate components are stars of three surface forms through the
+    base name, so (a) a one-hop least(self, min(neighbor)) map must
+    DIVERGE from true connected components on some vertices (else the
+    recursive-CTE oracle would be indistinguishable from
+    KG_CANONICAL_MAP's one-hop shape), and (b) Spark's executor-side
+    union-find must equal the brute-force transitive closure."""
+    t = tr.transcripts_from_events_chain(spark, sf_dir)
+    mentions = ex.mentions_with_entity_uuid(ex.extract_mentions(ep_ops.build_episodes(t)))
+    entities, uuid_map = dd.resolve_nodes(mentions)
+    pairs = dd.duplicate_pairs(dd.candidate_pairs(entities)).toPandas()
+    got = {
+        (r.group_id, r.raw_uuid): r.canonical_uuid
+        for r in uuid_map.collect()
+    }
+
+    # brute-force closure per group
+    import collections
+
+    adj = collections.defaultdict(set)
+    for r in pairs.itertuples():
+        adj[(r.group_id, r.src)].add(r.dst)
+        adj[(r.group_id, r.dst)].add(r.src)
+    want, onehop = {}, {}
+    for (g, v), nbrs in adj.items():
+        seen, stack = {v}, [v]
+        while stack:
+            u = stack.pop()
+            for w in adj[(g, u)]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        want[(g, v)] = min(seen)
+        onehop[(g, v)] = min({v} | nbrs)
+
+    assert got == want, "union-find != brute-force closure"
+    divergent = [k for k in want if want[k] != onehop[k]]
+    assert divergent, "chain corpus produced no multi-hop components"
