@@ -427,7 +427,10 @@ def q_kg_episode_subgraph(spark, sf_dir):
 
 
 def q_kg_remove_episode(spark, sf_dir):
-    """remove_episode cascade (rows-only): rows deleted per table."""
+    """remove_episode cascade, oracle-checked (r5): per-table delete
+    counts — oracle.KG_REMOVE_EPISODE rebuilds the doomed-edge (first
+    provenance entry), only-mentioned-here node, and mention-row
+    predicates in SQL for the same min-uuid episode selection."""
     from graphiti_spark.operators import graph_ops as go
 
     tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
@@ -1017,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_canonical": oracle.KG_EDGES_CANONICAL,
         "kg_episode_subgraph": oracle.KG_EPISODE_SUBGRAPH,
         "kg_uuid_map_alias": oracle.KG_UUID_MAP_ALIAS,
+        "kg_remove_episode": oracle.KG_REMOVE_EPISODE,
         "kg_edge_candidates": oracle.KG_EDGE_CANDIDATE_PAIRS,
         "kg_bfs": oracle.KG_BFS,
         "kg_node_distance": oracle.KG_NODE_DISTANCE,

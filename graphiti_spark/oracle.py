@@ -599,8 +599,7 @@ def _kg_resolution_ctes(transcripts_cte: str) -> str:
 # asserted edges carry the asserted rows' episode set keyed to the
 # rn=1 edge uuid; termination edges carry the term rows' episode set
 # keyed to the min term edge uuid.
-KG_EPISODE_SUBGRAPH = f"""WITH {{ctes}},
-  termg AS (
+_KG_PROV_CTES = """termg AS (
     SELECT group_id, csubj, cobj, pred, min(edge_uuid) AS uuid
     FROM term GROUP BY 1, 2, 3, 4),
   prov AS (
@@ -612,7 +611,10 @@ KG_EPISODE_SUBGRAPH = f"""WITH {{ctes}},
     SELECT g.uuid, t.episode_uuid
     FROM term t JOIN termg g
       ON g.group_id = t.group_id AND g.csubj = t.csubj
-     AND g.cobj = t.cobj AND g.pred = t.pred),
+     AND g.cobj = t.cobj AND g.pred = t.pred)"""
+
+KG_EPISODE_SUBGRAPH = f"""WITH {{ctes}},
+  {{prov}},
   ep_sel AS (
     SELECT DISTINCT episode_uuid FROM prov ORDER BY episode_uuid LIMIT 5)
 SELECT 'edge' AS object, uuid FROM (
@@ -626,7 +628,38 @@ SELECT 'node' AS object, uuid FROM (
         FROM men) m
   LEFT JOIN cmap c ON c.group_id = m.group_id AND c.raw = m.raw
   WHERE m.episode_uuid IN (SELECT episode_uuid FROM ep_sel))""".format(
-    ctes=_kg_resolution_ctes(CTE_TRANSCRIPTS_ALIAS)
+    ctes=_kg_resolution_ctes(CTE_TRANSCRIPTS_ALIAS), prov=_KG_PROV_CTES
+)
+
+# S8 remove_episode cascade (graphiti.py:1019-1052), oracle-checked as
+# per-table delete counts: the episode row itself; edges whose FIRST
+# provenance entry (min episode uuid of the sorted set) is the removed
+# episode; entities mentioned by no other episode; the episode's
+# mention rows. Episode selection mirrors the Spark query: the minimum
+# episode uuid present in the canonical mentions table.
+KG_REMOVE_EPISODE = """WITH {ctes},
+  {prov},
+  mcanon AS (
+    SELECT DISTINCT m.episode_uuid, m.group_id, coalesce(c.canon, m.raw) AS target
+    FROM (SELECT episode_uuid, group_id,
+                 md5(concat_ws('|', 'en', group_id, lower(entity_name))) AS raw
+          FROM men) m
+    LEFT JOIN cmap c ON c.group_id = m.group_id AND c.raw = m.raw),
+  ep AS (SELECT min(episode_uuid) AS u FROM mcanon),
+  edge_first AS (SELECT uuid, min(episode_uuid) AS first_ep FROM prov GROUP BY uuid),
+  nodecnt AS (SELECT target, count(DISTINCT episode_uuid) AS n_eps FROM mcanon GROUP BY target)
+SELECT 'episodes' AS "table", cast(1 AS bigint) AS n_removed
+UNION ALL
+SELECT 'edges', (SELECT cast(count(*) AS bigint)
+                 FROM edge_first, ep WHERE first_ep = ep.u)
+UNION ALL
+SELECT 'nodes', (SELECT cast(count(*) AS bigint)
+                 FROM (SELECT m.target FROM mcanon m, ep WHERE m.episode_uuid = ep.u) t
+                 JOIN nodecnt n ON n.target = t.target WHERE n.n_eps = 1)
+UNION ALL
+SELECT 'mentions', (SELECT cast(count(*) AS bigint)
+                    FROM mcanon, ep WHERE episode_uuid = ep.u)""".format(
+    ctes=_kg_resolution_ctes(CTE_TRANSCRIPTS), prov=_KG_PROV_CTES
 )
 
 # G1 true connected components, oracle-checked: over the CHAIN corpus
