@@ -445,8 +445,9 @@ def q_kg_remove_episode(spark, sf_dir):
 
 
 def q_kg_add_triplets(spark, sf_dir):
-    """add_triplet batch analog (rows-only): manual insert + antonym
-    invalidation against the existing graph."""
+    """add_triplet batch analog, oracle-checked (r5): manual insert +
+    antonym invalidation against the existing graph; the oracle derives
+    the expected rows by construction (oracle.KG_ADD_TRIPLETS)."""
     from graphiti_spark.operators import graph_ops as go
 
     tables = pl.build_graph(_t(spark, sf_dir), with_embeddings=False)
@@ -1021,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_episode_subgraph": oracle.KG_EPISODE_SUBGRAPH,
         "kg_uuid_map_alias": oracle.KG_UUID_MAP_ALIAS,
         "kg_remove_episode": oracle.KG_REMOVE_EPISODE,
+        "kg_add_triplets": oracle.KG_ADD_TRIPLETS,
         "kg_edge_candidates": oracle.KG_EDGE_CANDIDATE_PAIRS,
         "kg_bfs": oracle.KG_BFS,
         "kg_node_distance": oracle.KG_NODE_DISTANCE,

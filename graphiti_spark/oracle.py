@@ -703,6 +703,33 @@ SELECT a AS raw_uuid, least(a, min(b)) AS canonical_uuid, group_id
 FROM reach GROUP BY group_id, a"""
 
 
+# §3 add_triplet batch analog (graphiti.py:979-1017), oracle-checked
+# by CONSTRUCTION: the driver query inserts two manual triplets (Zed
+# LIKES/DISLIKES Yara, valid 03-01/04-01) into the group with the
+# minimum group_id and returns the resolved Zed edges. No existing
+# edge touches the (Zed, Yara) endpoints, so the expected output is
+# derivable independently: content-derived uuids (ids.py composition
+# with the 'manual' episode id) and antonym invalidation between the
+# two rows (LIKES invalidated by the later DISLIKES assertion;
+# DISLIKES stays open because its antonym precedes it). The one live
+# input is the group selection, recomputed from the corpus (min
+# group_id among groups holding at least one triple — every triple key
+# yields an edge row, so edge groups == triple groups).
+KG_ADD_TRIPLETS = f"""WITH {kg_triples_ctes()},
+  g AS (SELECT min(group_id) AS gid FROM tri),
+  ins AS (
+    SELECT gid, 'Zed' AS subj, v.pred, 'Yara' AS obj, v.valid_at, v.invalid_at
+    FROM g CROSS JOIN (VALUES
+      ('LIKES', timestamp '2025-03-01 00:00:00', timestamp '2025-04-01 00:00:00'),
+      ('DISLIKES', timestamp '2025-04-01 00:00:00', cast(NULL AS timestamp))
+    ) v(pred, valid_at, invalid_at))
+SELECT md5(concat_ws('|', 'ed', gid,
+           md5(concat_ws('|', 'manual', gid, subj, pred, obj)),
+           subj, pred, obj)) AS uuid,
+       pred AS name, valid_at, invalid_at
+FROM ins"""
+
+
 # J2/J4-edge: candidate edge pairs — same undirected endpoints + fact
 # word-overlap (search_utils.py:734-800; bulk_utils.py:297,313-337).
 KG_EDGE_CANDIDATE_PAIRS = f"""WITH {kg_triples_ctes()},
