@@ -64,3 +64,39 @@ def py_edge_uuid(group_id: str, episode_uuid_: str, subj: str, pred: str, obj: s
 # SQL fragment twins (DuckDB oracle) — keep in sync with the column fns above.
 SQL_EPISODE_UUID = "md5(concat_ws('|', 'ep', {group_id}, {conv_id}, cast({turn_idx} as varchar)))"
 SQL_ENTITY_UUID = "md5(concat_ws('|', 'en', {group_id}, lower({name})))"
+
+
+# -- group-id validation (reference helpers.py:124-147) ----------------------
+
+import re as _re
+
+_GROUP_ID_RE = _re.compile(r"^[a-zA-Z0-9_-]+$")
+
+
+class GroupIdValidationError(ValueError):
+    def __init__(self, group_id: str):
+        super().__init__(
+            f"group_id {group_id!r} must contain only ASCII alphanumerics, dashes, underscores"
+        )
+
+
+def validate_group_id(group_id: str) -> bool:
+    """Scalar twin of the reference validator (helpers.py:124-147):
+    empty is allowed (default group), otherwise ASCII alphanumerics,
+    dashes, underscores only; raises GroupIdValidationError."""
+    if not group_id:
+        return True
+    if not _GROUP_ID_RE.match(group_id):
+        raise GroupIdValidationError(group_id)
+    return True
+
+
+def invalid_group_ids(df, col: str = "group_id"):
+    """Vectorized ingest-gate form: the offending rows of `df` whose
+    group id fails the same rule — a codegen regex filter, not a UDF,
+    so a 100 TB ingest validates in the scan stage. Empty/null pass
+    (default group)."""
+    c = F.col(col)
+    return df.filter(
+        c.isNotNull() & (c != "") & ~c.rlike("^[a-zA-Z0-9_-]+$")
+    )

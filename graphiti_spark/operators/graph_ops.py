@@ -181,3 +181,25 @@ def add_triplets(
         "edges": merged_edges,
         "nodes": tables["nodes"].unionByName(new_nodes),
     }
+
+
+def clear_data(
+    tables: dict[str, DataFrame], group_ids: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """clear_data (graph_data_operations.py:66-81): delete everything,
+    or every row of the given group_ids, across all graph tables.
+
+    The reference detaches-and-deletes matched nodes in one Cypher
+    write; here each table is a filter (group_ids) or an empty
+    projection (full clear). PHYSICAL NOTE: on group-partitioned
+    parquet/Iceberg storage the group-scoped form is a partition DROP —
+    pure metadata, no data scan — which is the operation a 100 TB
+    tenant-offboarding job actually needs; the DataFrame filter here is
+    the in-plan equivalent the materializer pushes down to the
+    partition level."""
+    if group_ids is None:
+        return {
+            name: df.filter(F.lit(False)) for name, df in tables.items()
+        }
+    cond = ~F.col("group_id").isin(group_ids)
+    return {name: df.filter(cond) for name, df in tables.items()}

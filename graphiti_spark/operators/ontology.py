@@ -370,3 +370,22 @@ def type_edges(
         .drop("src_labels", "tgt_labels", "matched")
         .select(edges.columns)
     )
+
+
+def validate_excluded_entity_types(
+    excluded_entity_types: list[str] | None,
+    entity_types: dict[str, list[str]] | None = None,
+) -> bool:
+    """Mirror of reference helpers.py:150-181: excluded type names must
+    name an available type ('Entity' plus any declared custom types);
+    raises ValueError listing the invalid names."""
+    if not excluded_entity_types:
+        return True
+    available = {"Entity"} | set(entity_types or {})
+    invalid = set(excluded_entity_types) - available
+    if invalid:
+        raise ValueError(
+            f"Invalid excluded entity types: {sorted(invalid)}. "
+            f"Available types: {sorted(available)}"
+        )
+    return True

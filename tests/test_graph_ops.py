@@ -90,3 +90,55 @@ def test_add_triplets_inserts_and_invalidates(spark, tables):
     # idempotence: re-adding the same triplets does not duplicate edges
     again = go.add_triplets(out, new, "2025-06-01 00:00:00")
     assert again["edges"].filter(F.col("subj_name") == "Zed").count() == 2
+
+
+def test_clear_data(spark, sf_dir):
+    from graphiti_spark import transcripts as tr
+    from graphiti_spark.operators import graph_ops as go
+    from graphiti_spark.plans import pipeline as pl
+
+    tables = pl.build_graph(
+        tr.transcripts_from_events(spark, sf_dir), with_embeddings=False
+    )
+    tables = {k: v.localCheckpoint() for k, v in tables.items()}
+
+    g = tables["edges"].select("group_id").orderBy("group_id").first()[0]
+    scoped = go.clear_data(tables, [g])
+    for name in ("episodes", "nodes", "edges", "mentions"):
+        assert scoped[name].filter(f"group_id = '{g}'").count() == 0, name
+        # other groups untouched
+        assert (
+            scoped[name].count()
+            == tables[name].filter(f"group_id <> '{g}'").count()
+        ), name
+
+    wiped = go.clear_data(tables)
+    for name in ("episodes", "nodes", "edges", "mentions"):
+        assert wiped[name].count() == 0, name
+        assert wiped[name].schema == tables[name].schema, name
+
+
+def test_group_id_and_excluded_type_validators(spark):
+    import pytest as _pytest
+
+    from graphiti_spark import ids
+    from graphiti_spark.operators import ontology as onto
+
+    assert ids.validate_group_id("") is True
+    assert ids.validate_group_id("conv-42_A") is True
+    with _pytest.raises(ids.GroupIdValidationError):
+        ids.validate_group_id("bad group!")
+
+    df = spark.createDataFrame(
+        [("ok-1",), ("bad id",), ("",), (None,)], "group_id string"
+    )
+    bad = ids.invalid_group_ids(df).collect()
+    assert [r.group_id for r in bad] == ["bad id"]
+
+    assert onto.validate_excluded_entity_types(None) is True
+    assert onto.validate_excluded_entity_types(["Entity"]) is True
+    assert (
+        onto.validate_excluded_entity_types(["Person"], {"Person": []}) is True
+    )
+    with _pytest.raises(ValueError):
+        onto.validate_excluded_entity_types(["Ghost"], {"Person": []})
