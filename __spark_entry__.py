@@ -727,6 +727,13 @@ def q_shard_documents(spark, sf_dir):
     return dmx.shard_assign(_read(spark, sf_dir, "documents"), n_shards=16)
 
 
+def q_source_cap_documents(spark, sf_dir):
+    """CCNet/RefinedWeb-style per-domain hard cap (r5): at most 10 docs
+    per source, md5-rank deterministic; oracle = source_cap_sql."""
+    docs = _read(spark, sf_dir, "documents")
+    return dmx.source_cap(docs, cap=10).select("doc_id", "source", "src_rank")
+
+
 def q_quantile_bins_approx_documents(spark, sf_dir):
     """Rows-only by design: the Greenwald-Khanna sketch behind
     approx_percentile is engine-specific, so no cross-engine oracle
@@ -933,7 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_documents": q_quality_documents,
-        "fingerprint_documents": q_fingerprint_documents,
+        # new in r5: per-domain hard cap (needs its first driver rows)
+        "source_cap_documents": q_source_cap_documents,
         "repetition_documents": q_repetition_documents,
         "pii_documents": q_pii_documents,
         "paragraph_dups_documents": q_paragraph_dups_documents,
@@ -997,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_uuid_map_alias:
         "multimodal_resize": q_multimodal_resize,
         "token_counts_documents": q_token_counts_documents,
+        "fingerprint_documents": q_fingerprint_documents,
     }
 
 
@@ -1051,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_bins_documents": oracle.QUALITY_BINS_DOCUMENTS,
         "shard_documents": oracle.SHARD_DOCUMENTS,
         "importance_sample_documents": oracle.importance_sample_sql(),
+        "source_cap_documents": oracle.source_cap_sql(),
         "lang_id_documents": oracle.LANG_ID_DOCUMENTS,
         "quality_documents": oracle.QUALITY_DOCUMENTS,
         "token_counts_documents": oracle.TOKEN_COUNTS_DOCUMENTS,

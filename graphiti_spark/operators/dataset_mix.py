@@ -304,3 +304,54 @@ def pack_manifest(
         .cast("long")
         .alias("tok_end"),
     )
+
+
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "srccap",
+) -> DataFrame:
+    """Per-source (per-domain) hard cap — the CCNet/RefinedWeb-style
+    guard against a single domain dominating the mix: keep at most
+    `cap` documents per source, chosen as the `cap` smallest
+    md5('{salt}:{id}') ranks so membership is deterministic across
+    runs, engines, partitionings and retries (same property as
+    stratified_sample; a rand()-ranked cap would reshuffle the corpus
+    every run).
+
+    Scale: one exact per-source count (map-side combine) routes every
+    UNDER-cap source around the window entirely — on a web corpus the
+    long tail of small domains (most rows) never sorts. Only over-cap
+    sources pay a window rank, and that window partitions by source so
+    Spark sorts each domain independently; for the pathological
+    single-giant-domain case the md5 rank key is uniform, so a
+    pre-filter on an approximate cap/n quantile of the hash space
+    (computed from the same counts, margin ε) can bound the sorted
+    set to ~cap(1+ε) rows before the exact window — the same
+    threshold arithmetic temperature_mix uses. Returns the kept rows
+    plus `src_rank` (1-based deterministic rank within the source,
+    materialized only where the cap binds; NULL for under-cap sources,
+    which never sort).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    keyed = df.join(F.broadcast(counts), source_col).withColumn(
+        "_rk", F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    )
+    under = keyed.filter(F.col("_n") <= cap).withColumn(
+        "src_rank", F.lit(None).cast("int")
+    )
+    over = (
+        keyed.filter(F.col("_n") > cap)
+        .withColumn(
+            "src_rank",
+            F.row_number().over(
+                Window.partitionBy(source_col).orderBy("_rk", id_col)
+            ),
+        )
+        .filter(F.col("src_rank") <= cap)
+    )
+    return under.unionByName(over).drop("_n", "_rk")

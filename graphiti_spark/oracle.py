@@ -1069,6 +1069,26 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id"""
 
 
+def source_cap_sql(cap: int = 10, salt: str = "srccap") -> str:
+    """dataset_mix.source_cap: per-source hard cap, md5-ranked; rank
+    materialized only where the cap binds (NULL for under-cap
+    sources, mirroring the Spark plan's sort-free under-cap path)."""
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+keyed AS (
+  SELECT d.doc_id, d.source, c.n,
+         md5(concat_ws(':', '{salt}', cast(d.doc_id AS string))) AS rk
+  FROM documents d JOIN counts c USING (source)),
+ranked AS (
+  SELECT doc_id, source, n,
+         row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn
+  FROM keyed)
+SELECT doc_id, source,
+       CASE WHEN n > {cap} THEN cast(rn AS int) END AS src_rank
+FROM ranked
+WHERE n <= {cap} OR rn <= {cap}"""
+
+
 def importance_sample_sql() -> str:
     """Mirror of operators/dataset_mix.importance_sample over the
     C4-style quality score (scale=1, salt 'isample'): per-row keep

@@ -804,3 +804,29 @@ def test_cc_pair_input_computed_exactly_once(spark, sf_dir):
         f"({acc.value} increments for {expected} pairs) — the "
         f"connected_components input is being recomputed"
     )
+
+
+def test_source_cap(spark):
+    from graphiti_spark.operators import dataset_mix as dmx
+
+    rows = [(i, f"s{i % 3}") for i in range(30)] + [(100 + i, "tiny") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = dmx.source_cap(df, cap=4).toPandas()
+
+    by_src = out.groupby("source").size().to_dict()
+    # over-cap sources capped exactly; under-cap kept whole
+    assert by_src == {"s0": 4, "s1": 4, "s2": 4, "tiny": 2}
+    # rank materialized only where the cap binds
+    assert out[out.source == "tiny"].src_rank.isna().all()
+    assert sorted(out[out.source == "s0"].src_rank) == [1, 2, 3, 4]
+    # determinism: same membership on re-run and under repartitioning
+    out2 = dmx.source_cap(df.repartition(7), cap=4).toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+    # membership is the md5-smallest ranks, verified brute-force
+    import hashlib
+
+    def rk(i):
+        return hashlib.md5(f"srccap:{i}".encode()).hexdigest()
+
+    want_s0 = sorted((rk(i), i) for i in range(30) if i % 3 == 0)[:4]
+    assert sorted(out[out.source == "s0"].doc_id) == sorted(i for _, i in want_s0)
