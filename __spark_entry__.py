@@ -705,6 +705,16 @@ def q_contamination_documents(spark, sf_dir):
     return ddp.contamination(docs, bench)
 
 
+def q_contamination_bloom_documents(spark, sf_dir):
+    """Bloom-filter decontamination (r5): same every-50th benchmark as
+    the exact probe, constant 512 KB memory regardless of benchmark
+    size; the oracle replicates Bloom membership relationally so false
+    positives reproduce bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return ddp.contamination_bloom(docs, bench)
+
+
 def q_quality_bins_documents(spark, sf_dir):
     # CCNet shape: unigram-LM bits-per-token binned into quartiles PER
     # LANGUAGE (Wenzek et al. 2020 §4.3); the bin oracle is exact
@@ -937,7 +947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_documents": q_simhash_documents,
-        "jaccard_pairs_documents": q_jaccard_pairs_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_documents": q_quality_documents,
         # new in r5: per-domain hard cap (needs its first driver rows)
@@ -946,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_documents": q_pii_documents,
         "paragraph_dups_documents": q_paragraph_dups_documents,
         "contamination_documents": q_contamination_documents,
+        # new in r5: Bloom decontamination (needs its first driver rows)
+        "contamination_bloom_documents": q_contamination_bloom_documents,
         "sample_documents": q_sample_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "pack_manifest_documents": q_pack_manifest_documents,
@@ -1006,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "token_counts_documents": q_token_counts_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "jaccard_pairs_documents": q_jaccard_pairs_documents,
     }
 
 
@@ -1061,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_documents": oracle.SHARD_DOCUMENTS,
         "importance_sample_documents": oracle.importance_sample_sql(),
         "source_cap_documents": oracle.source_cap_sql(),
+        "contamination_bloom_documents": oracle.contamination_bloom_sql(),
         "lang_id_documents": oracle.LANG_ID_DOCUMENTS,
         "quality_documents": oracle.QUALITY_DOCUMENTS,
         "token_counts_documents": oracle.TOKEN_COUNTS_DOCUMENTS,

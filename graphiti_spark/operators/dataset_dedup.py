@@ -17,6 +17,8 @@ width tune recall vs shuffle width.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -585,6 +587,28 @@ def span_removal_plan(
     )
 
 
+def _word_ngrams(
+    d: DataFrame, n: int, text_col: str, id_col: str, keep_id: bool
+) -> DataFrame:
+    """Exploded lowercase word n-grams (one row per OCCURRENCE) —
+    shared by the exact and Bloom decontamination probes."""
+    toks = d.select(
+        *([F.col(id_col)] if keep_id else []),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), lambda t: t != ""
+        ).alias("_tk"),
+    )
+    g = F.when(
+        F.size("_tk") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_tk) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(_tk, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cols = ([F.col(id_col)] if keep_id else []) + [F.explode(g).alias("gram")]
+    return toks.select(*cols)
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -605,21 +629,7 @@ def contamination(
     partial combine. Corpus grams are md5-hashed before the join so
     the join key is fixed-width."""
     def grams(d: DataFrame, keep_id: bool):
-        toks = d.select(
-            *( [F.col(id_col)] if keep_id else [] ),
-            F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), lambda t: t != ""
-            ).alias("_tk"),
-        )
-        g = F.when(
-            F.size("_tk") >= n,
-            F.expr(
-                f"transform(sequence(1, size(_tk) - {n - 1}),"
-                f" i -> concat_ws(' ', slice(_tk, i, {n})))"
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        cols = ([F.col(id_col)] if keep_id else []) + [F.explode(g).alias("gram")]
-        return toks.select(*cols)
+        return _word_ngrams(d, n, text_col, id_col, keep_id)
 
     bench_grams = F.broadcast(
         grams(benchmark, keep_id=False).select(F.md5("gram").alias("gh")).distinct()
@@ -635,5 +645,97 @@ def contamination(
             id_col,
             F.coalesce("n_matched_ngrams", F.lit(0)).cast("long").alias("n_matched_ngrams"),
             (F.coalesce("n_matched_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _bloom_positions(hash_col, bits: int, k: int = 4):
+    """k bit positions from an md5 hex string: independent 8-hex-digit
+    chunks, base-16 → long, mod `bits`. Pure codegen (F.conv), mirrored
+    digit-for-digit by the DuckDB oracle's strpos arithmetic."""
+    return F.array(
+        *[
+            (F.conv(F.substring(hash_col, 1 + 8 * j, 8), 16, 10).cast("long") % bits)
+            for j in range(k)
+        ]
+    )
+
+
+def contamination_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    bits: int = 1 << 22,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter decontamination — the memory-bounded form of
+    `contamination` for when the benchmark n-gram set outgrows a plain
+    broadcast set (a multi-benchmark suite at 8-grams can be 10⁸+
+    strings; the Bloom at `bits` = 2²² is a fixed 512 KB regardless).
+    One-sided by construction: NO false negatives (every exact hit
+    sets all k bits), false-positive rate ≈ (1 - e^(-k·m/bits))^k for
+    m distinct benchmark grams — size `bits` ≈ 10·k·m for ~1e-3.
+
+    Build: benchmark gram positions aggregate into per-partition
+    bitmasks inside mapInPandas (each partition ships one `bits`/8-byte
+    row), OR-reduced on the driver — the only driver-side object is the
+    constant-size mask, never the gram set. Probe: the k positions per
+    corpus gram are computed JVM-side (codegen F.conv arithmetic); the
+    pandas UDF only gathers mask bytes per position (vectorized numpy),
+    so the corpus side stays map-only with no join at all — cheaper
+    than the exact probe's broadcast hash join.
+
+    Returns (doc_id, n_bloom_hits, contaminated): a superset of the
+    exact operator's contaminated set (pytest-gated no-false-negative
+    + FPR bound)."""
+    nbytes = bits // 8
+    bench_pos = (
+        _word_ngrams(benchmark, n, text_col, id_col, keep_id=False)
+        .select(F.explode(_bloom_positions(F.md5("gram"), bits, k)).alias("pos"))
+        .distinct()
+    )
+
+    def _partial_mask(batches):
+        mask = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in batches:
+            pos = pdf["pos"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(
+                mask, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8))
+            )
+        yield pd.DataFrame({"mask": [mask.tobytes()]})
+
+    partials = bench_pos.mapInPandas(_partial_mask, "mask binary").collect()
+    mask = np.zeros(nbytes, dtype=np.uint8)
+    for row in partials:
+        mask |= np.frombuffer(row["mask"], dtype=np.uint8)
+    bmask = docs.sparkSession.sparkContext.broadcast(mask.tobytes())
+
+    @F.pandas_udf("boolean")
+    def _hit(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        m = np.frombuffer(bmask.value, dtype=np.uint8)
+        arr = np.stack(pos.to_numpy())  # (rows, k) int64
+        byte_idx = arr >> 3
+        bit = (arr & 7).astype(np.uint8)
+        return pd.Series(((m[byte_idx] >> bit) & 1).all(axis=1))
+
+    doc_grams = _word_ngrams(docs, n, text_col, id_col, keep_id=True).select(
+        id_col, _bloom_positions(F.md5("gram"), bits, k).alias("pos")
+    )
+    hits = (
+        doc_grams.filter(_hit(F.col("pos")))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bloom_hits", F.lit(0)).cast("long").alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )

@@ -1194,6 +1194,51 @@ SELECT d.doc_id,
        coalesce(h.n_matched_ngrams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
 
+def contamination_bloom_sql(n: int = 8, bits: int = 1 << 22, k: int = 4) -> str:
+    """dataset_dedup.contamination_bloom: a gram 'hits' iff ALL k of
+    its md5-chunk bit positions appear among the benchmark grams'
+    positions — the exact relational statement of Bloom membership
+    (the Spark side sets those positions in a physical bitmask; the
+    bit-set they induce is identical, so false positives reproduce
+    bit-for-bit). Same every-50th-doc benchmark as CONTAMINATION."""
+
+    def hex8(expr: str) -> str:
+        return (
+            "cast(list_sum(list_transform(range(1, 9), i -> "
+            f"(strpos('0123456789abcdef', substr({expr}, i, 1)) - 1)"
+            " * cast(pow(16, 8 - i) AS bigint))) AS bigint)"
+        )
+
+    chunks = ", ".join(
+        f"{hex8(f'substr(h, {1 + 8 * j}, 8)')} % {bits}" for j in range(k)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - {n - 2}),
+                               i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS gram
+  FROM tk),
+dg AS (SELECT DISTINCT gram, md5(gram) AS h FROM grams),
+dgpos AS (SELECT gram, unnest([{chunks}]) AS pos FROM dg),
+bench_pos AS (
+  SELECT DISTINCT pos FROM dgpos
+  SEMI JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0) b USING (gram)),
+ghit AS (
+  SELECT gram FROM dgpos GROUP BY gram
+  HAVING bool_and(pos IN (SELECT pos FROM bench_pos))),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_bloom_hits
+  FROM grams g SEMI JOIN ghit USING (gram) GROUP BY 1)
+SELECT d.doc_id,
+       cast(coalesce(h.n_bloom_hits, 0) AS bigint) AS n_bloom_hits,
+       coalesce(h.n_bloom_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+
 # Canonical benchmark training-mix rates, shared with
 # __spark_entry__.q_sample_documents — sources absent from the dict
 # fall back to MIX_DEFAULT_RATE.

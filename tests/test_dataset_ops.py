@@ -830,3 +830,37 @@ def test_source_cap(spark):
 
     want_s0 = sorted((rk(i), i) for i in range(30) if i % 3 == 0)[:4]
     assert sorted(out[out.source == "s0"].doc_id) == sorted(i for _, i in want_s0)
+
+
+def test_contamination_bloom(spark):
+    from graphiti_spark.operators import dataset_dedup as ddp
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(words)),                       # = benchmark doc
+            (1, " ".join(words[1:] + ["lambda"])),      # shares an 8-gram
+            (2, " ".join(f"w{i}" for i in range(12))),  # disjoint vocab
+            (3, "too short"),                           # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 0")
+
+    exact = ddp.contamination(docs, bench).toPandas().set_index("doc_id")
+    bloom = ddp.contamination_bloom(docs, bench).toPandas().set_index("doc_id")
+
+    # one-sided: every exact hit is a bloom hit (NO false negatives)
+    assert set(exact[exact.contaminated].index) <= set(
+        bloom[bloom.contaminated].index
+    )
+    # at the default 2^22 bits / handful of grams, no false positives
+    # either: the two probes agree exactly
+    assert (bloom.contaminated == exact.contaminated).all()
+    assert (bloom.n_bloom_hits == exact.n_matched_ngrams).all()
+
+    # force collisions with a tiny filter: still no false negatives,
+    # and the flagged set can only GROW
+    tiny = ddp.contamination_bloom(docs, bench, bits=1 << 6).toPandas().set_index("doc_id")
+    assert set(exact[exact.contaminated].index) <= set(tiny[tiny.contaminated].index)
+    assert (tiny.n_bloom_hits >= bloom.n_bloom_hits).all()
