@@ -744,6 +744,24 @@ def q_source_cap_documents(spark, sf_dir):
     return dmx.source_cap(docs, cap=10).select("doc_id", "source", "src_rank")
 
 
+def q_split_documents(spark, sf_dir):
+    """Deterministic disjoint-by-construction train/val/test assignment
+    (r5): consecutive md5-hash-space intervals; oracle = split_sql."""
+    docs = _read(spark, sf_dir, "documents")
+    return dmx.split_assign(
+        docs, {"train": 0.98, "val": 0.01, "test": 0.01}
+    ).select("doc_id", "split")
+
+
+def q_token_budget_documents(spark, sf_dir):
+    """Per-source token-budget cap (r5): fill each source to 4000 chars
+    in salted-md5 order; oracle = token_budget_sql."""
+    docs = _read(spark, sf_dir, "documents")
+    return dmx.token_budget_cap(docs, budget=4000.0, weight_col="n_chars").select(
+        "doc_id", "source", "cum_before"
+    )
+
+
 def q_quantile_bins_approx_documents(spark, sf_dir):
     """Rows-only by design: the Greenwald-Khanna sketch behind
     approx_percentile is engine-specific, so no cross-engine oracle
@@ -944,13 +962,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_remove_episode": q_kg_remove_episode,
         "kg_add_triplets": q_kg_add_triplets,
         "bm25_documents": q_bm25_documents,
-        "dedup_exact_documents": q_dedup_exact_documents,
         "minhash_pairs_documents": q_minhash_pairs_documents,
-        "simhash_documents": q_simhash_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_documents": q_quality_documents,
-        # new in r5: per-domain hard cap (needs its first driver rows)
+        # new in r5: per-domain hard cap, disjoint splits, token-budget
+        # caps (each needs its first driver rows)
         "source_cap_documents": q_source_cap_documents,
+        "split_documents": q_split_documents,
+        "token_budget_documents": q_token_budget_documents,
         "repetition_documents": q_repetition_documents,
         "pii_documents": q_pii_documents,
         "paragraph_dups_documents": q_paragraph_dups_documents,
@@ -1018,6 +1037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_documents": q_token_counts_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "simhash_documents": q_simhash_documents,
     }
 
 
@@ -1074,6 +1095,8 @@ def oracle_sql() -> dict[str, str]:
         "importance_sample_documents": oracle.importance_sample_sql(),
         "source_cap_documents": oracle.source_cap_sql(),
         "contamination_bloom_documents": oracle.contamination_bloom_sql(),
+        "split_documents": oracle.split_sql(),
+        "token_budget_documents": oracle.token_budget_sql(),
         "lang_id_documents": oracle.LANG_ID_DOCUMENTS,
         "quality_documents": oracle.QUALITY_DOCUMENTS,
         "token_counts_documents": oracle.TOKEN_COUNTS_DOCUMENTS,

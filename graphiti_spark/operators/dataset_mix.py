@@ -355,3 +355,73 @@ def source_cap(
         .filter(F.col("src_rank") <= cap)
     )
     return under.unionByName(over).drop("_n", "_rk")
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 hash of
+    '{salt}:{id}' is one uniform draw per document, and the splits are
+    consecutive intervals of the hash space in sorted-name order — so
+    the splits are DISJOINT and EXHAUSTIVE by construction (every doc
+    gets exactly one label; no doc can leak between splits across
+    re-runs, retries, engines, or partitionings — the property that
+    matters for a held-out set). fractions must sum to ~1; the last
+    split absorbs rounding. Map-only: no shuffle, no state.
+    """
+    total = sum(fractions.values())
+    assert abs(total - 1.0) < 1e-9, f"fractions sum to {total}, want 1.0"
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    names = sorted(fractions)
+    expr, acc = None, 0.0
+    for name in names[:-1]:  # last split absorbs hash-space rounding
+        acc += fractions[name]
+        cond = bucket < F.lit(rate_threshold_hex(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def token_budget_cap(
+    df: DataFrame,
+    budget: float,
+    weight_col: str = "n_tokens",
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-stratum TOKEN-budget cap — real training mixes are budgeted
+    in tokens, not document counts (a source's doc cap says nothing
+    about its token share when lengths are skewed): within each
+    stratum, walk documents in salted-md5 order and keep them until the
+    cumulative `weight_col` reaches `budget`. The document that crosses
+    the boundary is kept (its preceding cumulative sum is < budget), so
+    every stratum lands in [budget, budget + max_doc_len). Membership
+    is a pure function of (salt, id, weights) — deterministic across
+    runs, engines, partitionings and retries, like every sampler here.
+
+    Scale: one window cumulative sum per stratum (partitioned running
+    frame, never a global sort). For a pathological giant stratum the
+    same md5-threshold prefilter as `source_cap` bounds the sorted set:
+    an approximate tokens-per-hash-unit rate from the per-stratum
+    count/sum aggregates caps the candidate rows at ~budget(1+ε)
+    before the exact cumsum. Returns kept rows plus `cum_before`
+    (tokens admitted ahead of this doc — the mix-accounting column).
+    """
+    w = Window.partitionBy(strat_col).orderBy("_rk", id_col)
+    keyed = df.withColumn(
+        "_rk", F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    )
+    out = keyed.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum(weight_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("double"),
+    )
+    return out.filter(F.col("cum_before") < budget).drop("_rk")

@@ -1239,6 +1239,46 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
 
 
+def split_sql(
+    fractions: dict[str, float] | None = None, salt: str = "split"
+) -> str:
+    """dataset_mix.split_assign: consecutive md5-hash-space intervals in
+    sorted-name order; thresholds via the SAME rate_threshold_hex the
+    Spark side uses, so the split boundaries agree to the hex digit."""
+    from graphiti_spark.operators.dataset_mix import rate_threshold_hex
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = sorted(fractions)
+    acc, whens = 0.0, []
+    for name in names[:-1]:
+        acc += fractions[name]
+        whens.append(f"WHEN bucket < '{rate_threshold_hex(acc)}' THEN '{name}'")
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         substr(md5(concat_ws(':', '{salt}', cast(doc_id AS string))), 1, 8) AS bucket
+  FROM documents)
+SELECT doc_id, CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split FROM b"""
+
+
+def token_budget_sql(budget: float = 4000.0, salt: str = "budget") -> str:
+    """dataset_mix.token_budget_cap over n_chars: per-source running
+    sum in salted-md5 order; keep while the PRECEDING cumulative sum is
+    under budget (the crossing document is admitted)."""
+    return f"""
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         md5(concat_ws(':', '{salt}', cast(doc_id AS string))) AS rk
+  FROM documents),
+c AS (
+  SELECT doc_id, source,
+         cast(coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY rk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS double) AS cum_before
+  FROM k)
+SELECT doc_id, source, cum_before FROM c WHERE cum_before < {budget}"""
+
+
 # Canonical benchmark training-mix rates, shared with
 # __spark_entry__.q_sample_documents — sources absent from the dict
 # fall back to MIX_DEFAULT_RATE.

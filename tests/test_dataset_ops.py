@@ -864,3 +864,42 @@ def test_contamination_bloom(spark):
     tiny = ddp.contamination_bloom(docs, bench, bits=1 << 6).toPandas().set_index("doc_id")
     assert set(exact[exact.contaminated].index) <= set(tiny[tiny.contaminated].index)
     assert (tiny.n_bloom_hits >= bloom.n_bloom_hits).all()
+
+
+def test_split_assign_and_token_budget(spark):
+    from graphiti_spark.operators import dataset_mix as dmx
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", 100 * (1 + i % 3)) for i in range(200)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = dmx.split_assign(df, {"train": 0.9, "val": 0.05, "test": 0.05}).toPandas()
+    # exhaustive + disjoint by construction: one label per doc
+    assert len(out) == 200 and out.split.notna().all()
+    frac = out.split.value_counts(normalize=True)
+    assert frac["train"] > 0.8  # rough proportion sanity on 200 draws
+    # determinism under repartitioning
+    out2 = dmx.split_assign(df.repartition(7), {"train": 0.9, "val": 0.05, "test": 0.05}).toPandas()
+    assert out.sort_values("doc_id").split.tolist() == out2.sort_values("doc_id").split.tolist()
+
+    cap = dmx.token_budget_cap(df, budget=1000.0).toPandas()
+    # every kept doc was admitted strictly under budget
+    assert (cap.cum_before < 1000.0).all()
+    # per source: kept tokens reach the budget (crossing doc admitted)
+    tot = cap.groupby("source").apply(
+        lambda g: (g.cum_before.max() + 0), include_groups=False
+    )
+    assert (tot + 100 >= 1000.0 - 300).all()  # within one max-doc of budget
+    # brute-force equivalence: md5-ordered prefix under budget
+    import hashlib
+
+    pdf = df.toPandas()
+    pdf["rk"] = pdf.doc_id.map(lambda i: hashlib.md5(f"budget:{i}".encode()).hexdigest())
+    want = set()
+    for s, g in pdf.groupby("source"):
+        acc = 0
+        for r in g.sort_values(["rk", "doc_id"]).itertuples():
+            if acc < 1000.0:
+                want.add(r.doc_id)
+            acc += r.n_tokens
+    assert set(cap.doc_id) == want
