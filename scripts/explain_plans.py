@@ -69,6 +69,11 @@ def main() -> None:
         "shard_documents",
         "minhash_star_documents",
         "curation_pipeline",
+        # round-5 additions
+        "source_cap_documents",
+        "split_documents",
+        "token_budget_documents",
+        "contamination_bloom_documents",
     ]:
         show(name, qs[name](spark, sf_dir))
     # pushdown sanity: projection+filter reaches the parquet scan
